@@ -1,0 +1,92 @@
+"""Pallas flash attention vs the jnp oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vision_transformers_tpu.ops.attention import mha_reference
+from vision_transformers_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(key, b, h, sq, sk, d):
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, sk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, sk, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d",
+    [
+        (2, 4, 65, 65, 64),    # ViT-tiny CIFAR: 8x8 patches + CLS
+        (1, 3, 197, 197, 64),  # ViT-B/16 @224: 14x14 + CLS
+        (2, 2, 64, 16, 32),    # SRA-style cross attention, Sk << Sq
+        (1, 1, 16, 16, 8),     # tiny window
+    ],
+)
+def test_forward_matches_oracle(b, h, sq, sk, d):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), b, h, sq, sk, d)
+    out = flash_attention(q, k, v)
+    ref = mha_reference(q, k, v)
+    assert out.shape == ref.shape
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+def test_forward_with_bias():
+    b, h, s, d = 2, 3, 49, 32  # Swin-like windowed shape
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), b, h, s, s, d)
+    bias = jax.random.normal(jax.random.PRNGKey(2), (1, h, s, s))
+    out = flash_attention(q, k, v, bias)
+    ref = mha_reference(q, k, v, bias)
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+def test_forward_with_per_batch_bias():
+    b, h, s, d = 2, 2, 32, 16
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), b, h, s, s, d)
+    bias = jax.random.normal(jax.random.PRNGKey(4), (b, h, s, s))
+    out = flash_attention(q, k, v, bias)
+    ref = mha_reference(q, k, v, bias)
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+def test_kv_valid_masks_padding():
+    b, h, s, d = 1, 2, 64, 32
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b, h, s, s, d)
+    # Poison the padded tail; kv_valid must make it invisible.
+    k = k.at[:, :, 40:, :].set(1e6)
+    v = v.at[:, :, 40:, :].set(1e6)
+    out = flash_attention(q, k, v, kv_valid=40)
+    ref = mha_reference(q[:, :, :, :], k[:, :, :40, :], v[:, :, :40, :])
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+def test_gradients_match_oracle():
+    b, h, s, d = 1, 2, 65, 32
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), b, h, s, s, d)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (1, h, s, s))
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(mha_reference(q, k, v, bias) ** 2)
+
+    gp = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(gp, gr):
+        rel = jnp.max(jnp.abs(a - b_)) / (jnp.max(jnp.abs(b_)) + 1e-9)
+        assert rel < 1e-4
+
+
+def test_bias_broadcast_gradient_reduces():
+    b, h, s, d = 3, 2, 32, 16
+    q, k, v = _rand_qkv(jax.random.PRNGKey(8), b, h, s, s, d)
+    bias = jax.random.normal(jax.random.PRNGKey(9), (1, h, s, s))
+
+    g_flash = jax.grad(lambda bb: jnp.sum(flash_attention(q, k, v, bb) ** 2))(bias)
+    g_ref = jax.grad(lambda bb: jnp.sum(mha_reference(q, k, v, bb) ** 2))(bias)
+    assert g_flash.shape == bias.shape
+    rel = jnp.max(jnp.abs(g_flash - g_ref)) / (jnp.max(jnp.abs(g_ref)) + 1e-9)
+    assert rel < 1e-4

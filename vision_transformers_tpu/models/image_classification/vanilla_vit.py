@@ -1,0 +1,164 @@
+"""Vanilla Vision Transformer (TPU-native).
+
+Same architecture and capability surface as the reference's torchvision-derived
+ViT (models/image_classification/vanilla_vit.py:109-215): conv patch embed
+(here an explicit MXU matmul, ops/patch_embed.py), learnable class token,
+learned absolute positional embedding N(0, .02), pre-LN encoder blocks
+(LN → MHA → dropout → residual; LN → GELU-MLP → residual,
+vanilla_vit.py:73-83), final LN, CLS-token linear head (zero-init,
+vanilla_vit.py:149-151).
+
+Constructor signature matches the reference:
+``ViT(image_size, patch_size, num_layers, num_heads, hidden_dim, mlp_dim,
+dropout, attention_dropout, num_classes)``; inputs are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_transformers_tpu.core.initializers import normal_init, zeros_init
+from vision_transformers_tpu.models.image_classification.base import TrainableModel
+from vision_transformers_tpu.ops.attention import SelfAttention
+from vision_transformers_tpu.ops.mlp import MLPBlock
+from vision_transformers_tpu.ops.patch_embed import PatchEmbed
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer encoder block (vanilla_vit.py:59-83)."""
+
+    num_heads: int
+    hidden_dim: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, return_weights: bool = False):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
+        attn = SelfAttention(
+            self.hidden_dim, self.num_heads,
+            attention_dropout=self.attention_dropout,
+            dtype=self.dtype, name="self_attention",
+        )
+        if return_weights:
+            y, weights = attn(y, deterministic=deterministic, return_weights=True)
+        else:
+            weights = None
+            y = attn(y, deterministic=deterministic)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        x = x + y
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
+        y = MLPBlock(self.mlp_dim, dropout=self.dropout, dtype=self.dtype, name="mlp")(
+            y, deterministic=deterministic
+        )
+        out = x + y
+        if return_weights:
+            return out, weights
+        return out
+
+
+class Encoder(nn.Module):
+    """Stack of encoder blocks with learned absolute pos-embed
+    (vanilla_vit.py:86-106)."""
+
+    seq_length: int
+    num_layers: int
+    num_heads: int
+    hidden_dim: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, return_weights: bool = False):
+        pos = self.param(
+            "pos_embedding", normal_init(0.02),
+            (1, self.seq_length, self.hidden_dim),
+        )
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        all_weights = []
+        for i in range(self.num_layers):
+            block = EncoderBlock(
+                self.num_heads, self.hidden_dim, self.mlp_dim,
+                self.dropout, self.attention_dropout,
+                dtype=self.dtype, name=f"encoder_layer_{i}",
+            )
+            if return_weights:
+                x, w = block(x, deterministic=deterministic, return_weights=True)
+                all_weights.append(w)
+            else:
+                x = block(x, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(x)
+        if return_weights:
+            return x, all_weights
+        return x
+
+
+class ViT(nn.Module, TrainableModel):
+    image_size: int
+    patch_size: int
+    num_layers: int
+    num_heads: int
+    hidden_dim: int
+    mlp_dim: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.image_size % self.patch_size == 0, \
+            "Input shape indivisible by patch size!"
+        seq_length = (self.image_size // self.patch_size) ** 2 + 1
+        self.conv_proj = PatchEmbed(
+            self.hidden_dim, self.patch_size, dtype=self.dtype
+        )
+        self.class_token = self.param(
+            "class_token", zeros_init, (1, 1, self.hidden_dim)
+        )
+        self.encoder = Encoder(
+            seq_length=seq_length,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            hidden_dim=self.hidden_dim,
+            mlp_dim=self.mlp_dim,
+            dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            dtype=self.dtype,
+        )
+        self.head = nn.Dense(
+            self.num_classes,
+            kernel_init=zeros_init, bias_init=zeros_init,
+            dtype=self.dtype, name="head",
+        )
+
+    def forward_features(self, images, *, deterministic: bool = True,
+                         return_weights: bool = False):
+        n = images.shape[0]
+        tokens, _ = self.conv_proj(images)
+        cls = jnp.broadcast_to(
+            self.class_token.astype(tokens.dtype), (n, 1, self.hidden_dim)
+        )
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+        return self.encoder(
+            tokens, deterministic=deterministic, return_weights=return_weights
+        )
+
+    def __call__(self, images, *, deterministic: bool = True,
+                 return_weights: bool = False):
+        if return_weights:
+            feats, weights = self.forward_features(
+                images, deterministic=deterministic, return_weights=True
+            )
+            return self.head(feats[:, 0]), weights
+        feats = self.forward_features(images, deterministic=deterministic)
+        return self.head(feats[:, 0])

@@ -1,0 +1,157 @@
+"""Multi-head attention: jnp oracle + Pallas dispatch + linen module.
+
+Mirrors the math of ``torch.nn.MultiheadAttention(batch_first=True)`` as used
+by the reference encoder blocks (vanilla_vit.py:67,77): packed QKV projection,
+scaled dot-product softmax attention with dropout on the probabilities, and an
+output projection. TPU-first differences: softmax statistics in fp32, the
+fused scaled-softmax(QKᵀ+bias)V runs as a Pallas kernel on TPU
+(flash_attention.py), and the probability-dropout path (training with
+attention_dropout > 0) uses the XLA-fused jnp twin so dropout masks stay
+inside one fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_transformers_tpu.core.initializers import xavier_uniform_init, zeros_init
+from vision_transformers_tpu.ops.flash_attention import flash_attention
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Pure-jnp scaled dot-product attention (the unit-test oracle).
+
+    q, k, v: (B, H, S, D). bias: additive, broadcastable to (B, H, Sq, Sk).
+    mask: bool, True = attend, broadcastable to (B, H, Sq, Sk).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    *,
+    scale: Optional[float] = None,
+    kv_valid: Optional[int] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Backend dispatcher: Pallas flash kernel on TPU, jnp twin elsewhere.
+
+    ``mask`` (arbitrary boolean) and probability dropout force the jnp path;
+    static key-padding should be expressed via ``kv_valid`` instead, which the
+    kernel handles with an iota compare.
+    """
+    wants_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
+    if wants_pallas and mask is None and dropout_rate == 0.0:
+        return flash_attention(q, k, v, bias, scale=scale, kv_valid=kv_valid)
+    if kv_valid is not None and kv_valid < k.shape[2]:
+        col = jnp.arange(k.shape[2]) < kv_valid
+        key_mask = col[None, None, None, :]
+        mask = key_mask if mask is None else (mask & key_mask)
+    return mha_reference(
+        q, k, v, bias, mask,
+        scale=scale, dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+    )
+
+
+class SelfAttention(nn.Module):
+    """Packed-QKV multi-head self attention (torch MHA semantics).
+
+    hidden_dim must divide num_heads; output = out_proj(attn). Follows the
+    reference's use with need_weights=False; set ``return_weights=True`` to
+    also get the (B, H, S, S) probabilities for visualization
+    (utils/visualization.py parity — the reference could never supply them).
+    """
+
+    hidden_dim: int
+    num_heads: int
+    attention_dropout: float = 0.0
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, return_weights: bool = False):
+        b, s, _ = x.shape
+        h = self.num_heads
+        dh = self.hidden_dim // h
+        assert dh * h == self.hidden_dim, "hidden_dim not divisible by heads"
+
+        qkv = nn.Dense(
+            3 * self.hidden_dim,
+            kernel_init=xavier_uniform_init(),
+            bias_init=zeros_init,
+            dtype=self.dtype,
+            name="qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+        drop = 0.0 if deterministic else self.attention_dropout
+        rng = self.make_rng("dropout") if drop > 0.0 else None
+
+        if return_weights:
+            scale = 1.0 / (dh ** 0.5)
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            weights = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+        else:
+            weights = None
+            out = dot_product_attention(
+                q, k, v, dropout_rate=drop, dropout_rng=rng
+            )
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, self.hidden_dim)
+        out = nn.Dense(
+            self.hidden_dim,
+            use_bias=self.out_bias,
+            kernel_init=xavier_uniform_init(),
+            bias_init=zeros_init,
+            dtype=self.dtype,
+            name="out",
+        )(out)
+        if return_weights:
+            return out, weights
+        return out

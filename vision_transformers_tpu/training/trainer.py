@@ -1,0 +1,278 @@
+"""The one shared trainer.
+
+Replaces the reference's per-model copy-pasted ``train_model`` loops
+(base.py:32-126 and its 7 clones). Reference semantics preserved:
+CrossEntropyLoss, Adam lr=1e-4 default, per-epoch train → (optional) val →
+test phases, tqdm progress, and a returned metrics dict with keys
+{train,val,test}_{loss,accuracy} (base.py:124-126).
+
+TPU-first deltas (SURVEY.md §7 "what idiomatic TPU design deletes"):
+- One jitted train step (forward + loss + grad + fused optimizer update),
+  donated state — no per-batch ``.to(device)`` copies.
+- uint8 batches travel to the device; normalization is fused into the step.
+- Loss/accuracy accumulate as device scalars; host sync happens once per
+  epoch (the reference syncs twice per batch via ``.item()``).
+- Ragged final batches are padded and masked with per-example weights instead
+  of recompiling: every step sees one static shape.
+- Optional ``jax.sharding.Mesh``: batch sharded over the 'data' axis, params
+  replicated (or TP-sharded via parallel.sharding rules); XLA inserts the
+  gradient all-reduce over ICI — no DDP wrapper, no NCCL
+  (vs utils/coco/util/misc.py:407-429).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from tqdm import tqdm
+
+from vision_transformers_tpu.training.optimizers import make_optimizer
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def cross_entropy_with_weights(logits, labels, weights):
+    """Weighted-mean CE over valid (weight=1) examples; matches
+    nn.CrossEntropyLoss mean reduction when all weights are 1."""
+    logits = logits.astype(jnp.float32)
+    per_ex = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    total_w = jnp.maximum(jnp.sum(weights), 1.0)
+    return jnp.sum(per_ex * weights) / total_w
+
+
+def _default_preprocess(images, normalize):
+    """On-device normalization: uint8 NHWC → normalized float."""
+    if images.dtype == jnp.uint8:
+        x = images.astype(jnp.float32) / 255.0
+    else:
+        x = images.astype(jnp.float32)
+    if normalize is not None:
+        mean, std = normalize
+        x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x
+
+
+def train_step_fn(model, normalize=None, loss_fn=None):
+    """Build the jitted train step for a classification model."""
+    loss_fn = loss_fn or cross_entropy_with_weights
+
+    def step(state: TrainState, images, labels, weights, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        x = _default_preprocess(images, normalize)
+
+        def compute_loss(params):
+            logits = model.apply(
+                {"params": params}, x,
+                deterministic=False, rngs={"dropout": dropout_rng},
+            )
+            loss = loss_fn(logits, labels, weights)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        pred = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((pred == labels) * weights)
+        n = jnp.sum(weights)
+        return state, loss * n, correct, n
+
+    return step
+
+
+def eval_step_fn(model, normalize=None, loss_fn=None):
+    loss_fn = loss_fn or cross_entropy_with_weights
+
+    def step(params, images, labels, weights):
+        x = _default_preprocess(images, normalize)
+        logits = model.apply({"params": params}, x, deterministic=True)
+        loss = loss_fn(logits, labels, weights)
+        pred = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((pred == labels) * weights)
+        n = jnp.sum(weights)
+        return loss * n, correct, n
+
+    return step
+
+
+def make_train_state(
+    model,
+    rng: jax.Array,
+    sample_input: jax.Array,
+    tx: Optional[optax.GradientTransformation] = None,
+    lr: float = 1e-4,
+    optimizer: str = "adam",
+    **opt_kwargs,
+) -> TrainState:
+    if tx is None:
+        tx = make_optimizer(optimizer, lr, **opt_kwargs)
+    init_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": dropout_rng},
+        jnp.zeros_like(sample_input, dtype=jnp.float32)
+        if sample_input.dtype == jnp.uint8 else sample_input,
+    )
+    return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
+
+
+def _pad_batch(images: np.ndarray, labels: np.ndarray, batch_size: int):
+    n = images.shape[0]
+    weights = np.zeros((batch_size,), np.float32)
+    weights[:n] = 1.0
+    if n < batch_size:
+        pad = batch_size - n
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)], axis=0
+        )
+        labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)], axis=0)
+    return images, labels, weights
+
+
+def _as_nhwc(images: np.ndarray) -> np.ndarray:
+    """Accept NCHW (reference layout) or NHWC; the device side is NHWC."""
+    if images.ndim == 4 and images.shape[1] in (1, 3) and images.shape[-1] not in (1, 3):
+        return np.transpose(images, (0, 2, 3, 1))
+    return images
+
+
+def _to_numpy(x):
+    if hasattr(x, "detach"):  # torch tensor from a reference-style loader
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def fit(
+    model,
+    train_loader: Iterable,
+    test_loader: Iterable,
+    epochs: int,
+    val_loader: Optional[Iterable] = None,
+    *,
+    lr: float = 1e-4,
+    optimizer: str = "adam",
+    loss_fn: Optional[Callable] = None,
+    seed: int = 0,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    state: Optional[TrainState] = None,
+    log_every: int = 50,
+    verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    **opt_kwargs,
+):
+    """Train ``model``; returns the reference-parity metrics dict.
+
+    Loaders are any iterables of (images, labels) numpy/torch batches; an
+    optional ``loader.normalize = (mean, std)`` attribute moves normalization
+    onto the device (utils.load_data loaders set it).
+    """
+    rng = jax.random.PRNGKey(seed)
+    normalize = getattr(train_loader, "normalize", None)
+
+    first = next(iter(train_loader))
+    images0, labels0 = _to_numpy(first[0]), _to_numpy(first[1])
+    images0 = _as_nhwc(images0)
+    batch_size = images0.shape[0]
+
+    if state is None:
+        state = make_train_state(
+            model, rng, jnp.asarray(images0[:1]),
+            lr=lr, optimizer=optimizer, **opt_kwargs,
+        )
+
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data_sharding = NamedSharding(mesh, P("data"))
+        state = jax.device_put(state, repl)
+
+    train_step = jax.jit(train_step_fn(model, normalize, loss_fn), donate_argnums=0)
+    eval_step = jax.jit(eval_step_fn(model, normalize, loss_fn))
+
+    def put(arrs):
+        if data_sharding is None:
+            return [jnp.asarray(a) for a in arrs]
+        return [jax.device_put(a, data_sharding) for a in arrs]
+
+    def run_eval(params, loader):
+        loss_sum = jnp.float32(0); correct = jnp.float32(0); count = jnp.float32(0)
+        for images, labels in loader:
+            images = _as_nhwc(_to_numpy(images))
+            labels = _to_numpy(labels)
+            images, labels, weights = _pad_batch(images, labels, batch_size)
+            images, labels, weights = put([images, labels, weights])
+            l, c, n = eval_step(params, images, labels, weights)
+            loss_sum += l; correct += c; count += n
+        count = jnp.maximum(count, 1.0)
+        return float(loss_sum / count), float(correct / count)
+
+    history = {
+        "train_loss": [], "val_loss": [] if val_loader else None,
+        "test_loss": [],
+        "train_accuracy": [], "val_accuracy": [] if val_loader else None,
+        "test_accuracy": [],
+    }
+
+    step_rng = jax.random.fold_in(rng, 1)
+    for epoch in range(epochs):
+        loss_sum = jnp.float32(0); correct = jnp.float32(0); count = jnp.float32(0)
+        it = tqdm(
+            train_loader, desc=f"Epoch {epoch + 1}/{epochs}", unit="batch",
+            disable=not verbose,
+        )
+        for i, (images, labels) in enumerate(it):
+            images = _as_nhwc(_to_numpy(images))
+            labels = _to_numpy(labels)
+            images, labels, weights = _pad_batch(images, labels, batch_size)
+            images, labels, weights = put([images, labels, weights])
+            state, l, c, n = train_step(state, images, labels, weights, step_rng)
+            loss_sum += l; correct += c; count += n
+            if verbose and i % log_every == log_every - 1:
+                it.set_postfix({
+                    "Train Loss": float(loss_sum / count),
+                    "Train Acc": float(correct / count),
+                })
+
+        count = jnp.maximum(count, 1.0)
+        epoch_train_loss = float(loss_sum / count)
+        epoch_train_acc = float(correct / count)
+        history["train_loss"].append(epoch_train_loss)
+        history["train_accuracy"].append(epoch_train_acc)
+
+        if val_loader is not None:
+            vl, va = run_eval(state.params, val_loader)
+            history["val_loss"].append(vl)
+            history["val_accuracy"].append(va)
+        else:
+            vl, va = "N/A", "N/A"
+
+        tl, ta = run_eval(state.params, test_loader)
+        history["test_loss"].append(tl)
+        history["test_accuracy"].append(ta)
+
+        if verbose:
+            tqdm.write(
+                f"Epoch {epoch + 1}/{epochs} - "
+                f"Train Loss: {epoch_train_loss:.4f}, Train Acc: {epoch_train_acc:.4f}, "
+                f"Val Loss: {vl}, Val Acc: {va}, "
+                f"Test Loss: {tl:.4f}, Test Acc: {ta:.4f}"
+            )
+
+        if checkpoint_dir and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+            from vision_transformers_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, state, step=epoch + 1)
+
+    history["final_state"] = state
+    return history
