@@ -1,0 +1,87 @@
+"""Headline benchmark: ViT-B/16 @224 images/sec/chip (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``vs_baseline`` is measured throughput / target, where target = 95% of the
+single-chip bf16 roofline (the driver-defined north star; the PyTorch
+reference publishes no throughput numbers at all — BASELINE.md).
+
+Roofline model: ViT-B/16 @224 forward ≈ 35.1 GFLOP/image (mult+add
+convention) — per layer 2S·D·3D (QKV) + 4S²·D (attention) + 2S·D² (out) +
+4S·D·4D (MLP) with S=197, D=768, L=12, plus the patch projection. TPU v5e
+peak ≈ 197 TFLOP/s bf16.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def vit_b16_flops_per_image(s=197, d=768, mlp=3072, layers=12, patches=196):
+    per_layer = (
+        2 * s * d * (3 * d)      # QKV projection
+        + 4 * s * s * d          # QK^T and PV
+        + 2 * s * d * d          # out projection
+        + 2 * 2 * s * d * mlp    # MLP fc1+fc2
+    )
+    patch_proj = 2 * patches * (16 * 16 * 3) * d
+    return layers * per_layer + patch_proj
+
+
+V5E_PEAK_FLOPS = 197e12  # bf16
+
+
+def main():
+    from vision_transformers_tpu.models.image_classification import ViT
+    from vision_transformers_tpu.utils.args import get_args
+
+    on_tpu = jax.default_backend() == "tpu"
+    args = get_args("vitb16_224_imagenet")
+    model = ViT(**args, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+
+    batch = 256 if on_tpu else 8
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 224, 224, 3), jnp.float32
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x[:1],
+    )
+
+    # NOTE axon tunnel: block_until_ready does NOT synchronize; only a host
+    # transfer does. Queue all iterations (device executes in order), then
+    # force one scalar back to the host to time the whole run.
+    fwd = jax.jit(
+        lambda v, x: jnp.sum(model.apply(v, x).astype(jnp.float32))
+    )
+    float(fwd(variables, x))  # compile + warm
+
+    n_iters = 20 if on_tpu else 2
+    t0 = time.perf_counter()
+    s = None
+    for _ in range(n_iters):
+        s = fwd(variables, x)
+    float(s)  # one sync for the whole queued chain
+    dt = time.perf_counter() - t0
+    images_per_sec = batch * n_iters / dt
+
+    flops = vit_b16_flops_per_image()
+    roofline_ips = V5E_PEAK_FLOPS / flops
+    target = 0.95 * roofline_ips
+    mfu = images_per_sec * flops / V5E_PEAK_FLOPS
+
+    print(json.dumps({
+        "metric": "vit_b16_224_bf16_infer",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / target, 4),
+        "mfu": round(mfu, 4),
+        "batch": batch,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from vision_transformers_tpu.parallel.mesh import (
+    make_mesh,
+    shard_params,
+    batch_sharding,
+    replicated,
+    param_partition_spec,
+)
+from vision_transformers_tpu.parallel.distributed import (
+    init_distributed_mode,
+    is_main_process,
+    get_rank,
+    get_world_size,
+    all_gather_objects,
+    save_on_master,
+)
