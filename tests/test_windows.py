@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformers_tpu.ops.attention import mha_reference
+from vision_transformers_tpu.ops.windows import (
+    PatchMerging,
+    relative_position_index,
+    shift_attn_mask,
+    shifted_window_attention,
+    window_partition,
+    window_reverse,
+)
+
+
+def test_window_partition_reverse_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 5))
+    w = window_partition(x, 4, 4)
+    assert w.shape == (2 * 2 * 3, 16, 5)
+    back = window_reverse(w, 4, 4, 8, 12)
+    assert jnp.array_equal(back, x)
+
+
+def test_relative_position_index_center_diagonal():
+    wh, ww = 4, 4
+    idx = relative_position_index(wh, ww).reshape(wh * ww, wh * ww)
+    center = (wh - 1) * (2 * ww - 1) + (ww - 1)
+    assert np.all(np.diag(idx) == center)
+    assert idx.min() >= 0
+    assert idx.max() < (2 * wh - 1) * (2 * ww - 1)
+
+
+def test_shift_mask_structure():
+    assert shift_attn_mask(8, 8, (4, 4), (0, 0)) is None
+    mask = shift_attn_mask(8, 8, (4, 4), (2, 2))
+    assert mask.shape == (4, 16, 16)
+    # same-region pairs are 0; distinct-region pairs are -100
+    assert set(np.unique(mask)) <= {0.0, -100.0}
+    # the first (unshifted-interior) window has no region boundary
+    assert np.all(mask[0] == 0.0)
+    # shifted windows must mask something
+    assert (mask[-1] == -100.0).any()
+
+
+def test_window_attention_no_shift_equals_plain_mha():
+    """One window covering the whole map + zero bias == vanilla attention."""
+    b, h, w, c, heads = 2, 4, 4, 16, 2
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (b, h, w, c))
+    qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+    proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+    zero_bias = jnp.zeros((heads, h * w, h * w))
+
+    out = shifted_window_attention(
+        x, qkv_k, None, proj_k, None, zero_bias,
+        window_size=(h, w), num_heads=heads, shift_size=(0, 0),
+    )
+
+    tokens = x.reshape(b, h * w, c)
+    qkv = (tokens @ qkv_k).reshape(b, h * w, 3, heads, c // heads)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)
+    ref = mha_reference(qkv[0], qkv[1], qkv[2])
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, h * w, c) @ proj_k
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(b, h * w, c)), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_shifted_window_attention_shift_changes_output_but_keeps_shape():
+    b, h, w, c, heads = 1, 8, 8, 8, 2
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (b, h, w, c))
+    qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+    proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+    bias = jnp.zeros((heads, 16, 16))
+    out0 = shifted_window_attention(
+        x, qkv_k, None, proj_k, None, bias, (4, 4), heads, (0, 0))
+    out1 = shifted_window_attention(
+        x, qkv_k, None, proj_k, None, bias, (4, 4), heads, (2, 2))
+    assert out0.shape == out1.shape == x.shape
+    assert not jnp.allclose(out0, out1)
+
+
+def test_window_padding_for_indivisible_maps():
+    b, h, w, c, heads = 1, 6, 6, 8, 2
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 3)
+    x = jax.random.normal(ks[0], (b, h, w, c))
+    qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+    proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+    bias = jnp.zeros((heads, 16, 16))
+    out = shifted_window_attention(
+        x, qkv_k, None, proj_k, None, bias, (4, 4), heads, (2, 2))
+    assert out.shape == x.shape
+
+
+def test_patch_merging_shapes_and_s2d_order():
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    m = PatchMerging()
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 2, 2, 6)  # H/2, W/2, 2C

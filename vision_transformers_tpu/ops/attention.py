@@ -83,6 +83,12 @@ def dot_product_attention(
     wants_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
     if wants_pallas and mask is None and dropout_rate == 0.0:
         return flash_attention(q, k, v, bias, scale=scale, kv_valid=kv_valid)
+    if bias is not None and bias.shape[0] not in (1, q.shape[0]):
+        # Windowed attention: bias leading dim is num_windows, batch is
+        # B·num_windows — tile for the jnp path (the Pallas kernel instead
+        # indexes the compact bias with a grid modulo).
+        assert q.shape[0] % bias.shape[0] == 0
+        bias = jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1, 1))
     if kv_valid is not None and kv_valid < k.shape[2]:
         col = jnp.arange(k.shape[2]) < kv_valid
         key_mask = col[None, None, None, :]

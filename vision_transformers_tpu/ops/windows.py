@@ -1,0 +1,233 @@
+"""Windowed (Swin-style) attention ops.
+
+TPU-first re-design of the reference's functional ``shifted_window_attention``
+(swin_transformer.py:45-130):
+
+- The whole pipeline is NHWC; the reference's NCHW↔NHWC permutes vanish.
+- The relative-position index and the 9-region shift mask depend only on
+  static shapes, so both are computed in numpy at trace time and baked into
+  the program as constants — the reference rebuilds the mask on-device every
+  forward (swin_transformer.py:95-111).
+- The windowed softmax(QKᵀ+bias)V runs through the shared attention
+  dispatcher: batch and windows fold into the kernel grid's leading dim
+  (SURVEY.md §7 'batch/window packing'), the combined (relative-position +
+  shift) bias rides the kernel's additive-bias input.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_transformers_tpu.core.initializers import trunc_normal_init, zeros_init
+from vision_transformers_tpu.ops.attention import dot_product_attention
+
+
+def window_partition(x: jax.Array, wh: int, ww: int) -> jax.Array:
+    """(B, H, W, C) → (B·nW, wh·ww, C). H, W must be window multiples."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * (h // wh) * (w // ww), wh * ww, c)
+
+
+def window_reverse(x: jax.Array, wh: int, ww: int, h: int, w: int) -> jax.Array:
+    """Inverse of window_partition."""
+    bnw, n, c = x.shape
+    b = bnw // ((h // wh) * (w // ww))
+    x = x.reshape(b, h // wh, w // ww, wh, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Static (N·N,) gather index into the (2wh-1)(2ww-1) bias table
+    (semantics of swin_transformer.py:183-196)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1).reshape(-1)
+
+
+def shift_attn_mask(
+    pad_h: int, pad_w: int, window: Sequence[int], shift: Sequence[int]
+) -> Optional[np.ndarray]:
+    """Static (nW, N, N) additive mask (0 / -100) separating the 9 regions a
+    cyclic shift stitches together (semantics of swin_transformer.py:95-111).
+    None when no shift."""
+    if sum(shift) == 0:
+        return None
+    wh, ww = window
+    region = np.zeros((pad_h, pad_w), np.float32)
+    h_slices = ((0, pad_h - wh), (pad_h - wh, pad_h - shift[0]), (pad_h - shift[0], pad_h))
+    w_slices = ((0, pad_w - ww), (pad_w - ww, pad_w - shift[1]), (pad_w - shift[1], pad_w))
+    count = 0
+    for h0, h1 in h_slices:
+        for w0, w1 in w_slices:
+            region[h0:h1, w0:w1] = count
+            count += 1
+    region = region.reshape(pad_h // wh, wh, pad_w // ww, ww)
+    region = region.transpose(0, 2, 1, 3).reshape(-1, wh * ww)  # (nW, N)
+    diff = region[:, None, :] - region[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def shifted_window_attention(
+    x: jax.Array,
+    qkv_kernel: jax.Array,
+    qkv_bias: Optional[jax.Array],
+    proj_kernel: jax.Array,
+    proj_bias: Optional[jax.Array],
+    relative_position_bias: jax.Array,  # (num_heads, N, N)
+    window_size: Sequence[int],
+    num_heads: int,
+    shift_size: Sequence[int],
+    *,
+    attention_dropout: float = 0.0,
+    dropout: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng=None,
+) -> jax.Array:
+    """Functional core on (B, H, W, C) feature maps."""
+    b, h, w, c = x.shape
+    wh, ww = window_size
+    pad_b = (wh - h % wh) % wh
+    pad_r = (ww - w % ww) % ww
+    x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    pad_h, pad_w = h + pad_b, w + pad_r
+
+    shift = list(shift_size)
+    if wh >= pad_h:
+        shift[0] = 0
+    if ww >= pad_w:
+        shift[1] = 0
+
+    if sum(shift) > 0:
+        x = jnp.roll(x, shift=(-shift[0], -shift[1]), axis=(1, 2))
+
+    n_win = (pad_h // wh) * (pad_w // ww)
+    xw = window_partition(x, wh, ww)  # (B·nW, N, C)
+    g, n, _ = xw.shape
+
+    qkv = xw @ qkv_kernel
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias
+    dh = c // num_heads
+    qkv = qkv.reshape(g, n, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (B·nW, nH, N, dh)
+
+    # Combined additive bias: relative-position bias (shared by all windows)
+    # + per-window shift mask (shared by batch and heads). Shape (nW', nH,
+    # N, N) with nW' ∈ {1, n_win}; the kernel broadcasts over batch via its
+    # leading-dim modulo.
+    mask = shift_attn_mask(pad_h, pad_w, (wh, ww), shift)
+    bias = relative_position_bias[None]  # (1, nH, N, N)
+    if mask is not None:
+        bias = bias + jnp.asarray(mask)[:, None, :, :]  # (nW, nH, N, N)
+
+    drop = 0.0 if deterministic else attention_dropout
+    out = dot_product_attention(
+        q, k, v, bias=bias,
+        dropout_rate=drop, dropout_rng=dropout_rng,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(g, n, c)
+    out = out @ proj_kernel
+    if proj_bias is not None:
+        out = out + proj_bias
+    # (projection dropout applied by the caller module)
+
+    out = window_reverse(out, wh, ww, pad_h, pad_w)
+    if sum(shift) > 0:
+        out = jnp.roll(out, shift=(shift[0], shift[1]), axis=(1, 2))
+    return out[:, :h, :w, :]
+
+
+class ShiftedWindowAttention(nn.Module):
+    """Module wrapper holding qkv/proj kernels and the relative-position
+    bias table ((2wh-1)(2ww-1), nH), trunc-normal 0.02
+    (swin_transformer.py:172-181)."""
+
+    dim: int
+    window_size: Sequence[int]
+    shift_size: Sequence[int]
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    attention_dropout: float = 0.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        wh, ww = self.window_size
+        table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(0.02),
+            ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
+        )
+        idx = relative_position_index(wh, ww)
+        n = wh * ww
+        rel_bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+
+        qkv_kernel = self.param(
+            "qkv_kernel", trunc_normal_init(0.02), (self.dim, 3 * self.dim)
+        )
+        qkv_b = (
+            self.param("qkv_bias", zeros_init, (3 * self.dim,))
+            if self.qkv_bias else None
+        )
+        proj_kernel = self.param(
+            "proj_kernel", trunc_normal_init(0.02), (self.dim, self.dim)
+        )
+        proj_b = (
+            self.param("proj_bias", zeros_init, (self.dim,))
+            if self.proj_bias else None
+        )
+
+        rng = None
+        if not deterministic and self.attention_dropout > 0.0:
+            rng = self.make_rng("dropout")
+        out = shifted_window_attention(
+            x.astype(self.dtype),
+            qkv_kernel.astype(self.dtype),
+            None if qkv_b is None else qkv_b.astype(self.dtype),
+            proj_kernel.astype(self.dtype),
+            None if proj_b is None else proj_b.astype(self.dtype),
+            rel_bias,
+            self.window_size, self.num_heads, self.shift_size,
+            attention_dropout=self.attention_dropout,
+            deterministic=deterministic, dropout_rng=rng,
+        )
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class PatchMerging(nn.Module):
+    """2×2 space-to-depth → LN(4C) → Linear(4C→2C)
+    (swin_transformer.py:136-151); input (B, H, W, C), NHWC."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(
+            2 * c,
+            kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
+            dtype=self.dtype, name="reduction",
+        )(x)
