@@ -81,13 +81,29 @@ def shift_attn_mask(
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def edge_pad_key_mask(
+    pad_h: int, pad_w: int, h: int, w: int, window: Sequence[int]
+) -> Optional[np.ndarray]:
+    """Static (nW, 1, N) additive key mask (0 / -1e9) marking positions that
+    exist only because the map was padded to window multiples. Twins LSA
+    masks them (real-Twins semantics); torchvision Swin does not."""
+    if pad_h == h and pad_w == w:
+        return None
+    wh, ww = window
+    valid = np.zeros((pad_h, pad_w), np.float32)
+    valid[:h, :w] = 1.0
+    valid = valid.reshape(pad_h // wh, wh, pad_w // ww, ww)
+    valid = valid.transpose(0, 2, 1, 3).reshape(-1, wh * ww)  # (nW, N)
+    return np.where(valid[:, None, :] > 0, 0.0, -1e9).astype(np.float32)
+
+
 def shifted_window_attention(
     x: jax.Array,
     qkv_kernel: jax.Array,
     qkv_bias: Optional[jax.Array],
     proj_kernel: jax.Array,
     proj_bias: Optional[jax.Array],
-    relative_position_bias: jax.Array,  # (num_heads, N, N)
+    relative_position_bias: Optional[jax.Array],  # (num_heads, N, N) or None
     window_size: Sequence[int],
     num_heads: int,
     shift_size: Sequence[int],
@@ -96,6 +112,7 @@ def shifted_window_attention(
     dropout: float = 0.0,
     deterministic: bool = True,
     dropout_rng=None,
+    mask_padding: bool = False,
 ) -> jax.Array:
     """Functional core on (B, H, W, C) feature maps."""
     b, h, w, c = x.shape
@@ -130,9 +147,22 @@ def shifted_window_attention(
     # N, N) with nW' ∈ {1, n_win}; the kernel broadcasts over batch via its
     # leading-dim modulo.
     mask = shift_attn_mask(pad_h, pad_w, (wh, ww), shift)
-    bias = relative_position_bias[None]  # (1, nH, N, N)
+    pad_mask = (
+        edge_pad_key_mask(pad_h, pad_w, h, w, (wh, ww)) if mask_padding else None
+    )
+    bias = None
+    if relative_position_bias is not None:
+        bias = relative_position_bias[None]  # (1, nH, N, N)
     if mask is not None:
-        bias = bias + jnp.asarray(mask)[:, None, :, :]  # (nW, nH, N, N)
+        m = jnp.asarray(mask)[:, None, :, :]  # (nW, 1, N, N)
+        bias = m if bias is None else bias + m
+    if pad_mask is not None:
+        m = jnp.asarray(pad_mask)[:, None, :, :]
+        bias = m if bias is None else bias + m
+    if bias is not None and bias.shape != (bias.shape[0], num_heads, n, n):
+        # materialize full (nW', nH, N, N): the Pallas wrapper flattens
+        # (leading, head) and cannot carry size-1 broadcast dims
+        bias = jnp.broadcast_to(bias, (bias.shape[0], num_heads, n, n))
 
     drop = 0.0 if deterministic else attention_dropout
     out = dot_product_attention(
