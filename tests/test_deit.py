@@ -1,0 +1,129 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformers_tpu.models.image_classification.deit import DeiT
+from vision_transformers_tpu.models.image_classification import ViT
+from vision_transformers_tpu.utils.args import get_args
+from vision_transformers_tpu.utils.distillation_loss import (
+    DistillationLoss,
+    distillation_loss,
+    hard_distillation,
+    soft_distillation,
+)
+
+from tests.synthetic_data import SyntheticLoader
+
+torch = pytest.importorskip("torch")
+
+
+def _tiny_deit(distilled=True, num_classes=4):
+    return DeiT(
+        image_size=16, patch_size=8, num_layers=2, num_heads=2,
+        embed_dim=32, mlp_ratio=2.0, num_classes=num_classes,
+        distilled_training=distilled,
+    )
+
+
+def test_deit_tiny_config_forward():
+    args = get_args("deit_tinydistil_cifar100")
+    model = DeiT(**args)
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    y = model.apply(v, x)  # eval: fused logits
+    assert y.shape == (2, 100)
+
+
+def test_deit_distilled_training_returns_tuple():
+    model = _tiny_deit(distilled=True)
+    x = jnp.ones((2, 16, 16, 3))
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    out = model.apply(v, x, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+    assert isinstance(out, tuple) and len(out) == 2
+    cls_logits, dist_logits = out
+    assert cls_logits.shape == dist_logits.shape == (2, 4)
+    # eval forward fuses heads
+    fused = model.apply(v, x)
+    assert fused.shape == (2, 4)
+
+
+def test_soft_distillation_matches_torch_kldiv():
+    """Soft path vs the exact torch formula the reference uses
+    (distillation_loss.py:55-67)."""
+    rng = np.random.RandomState(0)
+    s = rng.randn(4, 10).astype(np.float32)
+    t = rng.randn(4, 10).astype(np.float32)
+    tau = 5.0
+    ours = float(soft_distillation(jnp.asarray(s), jnp.asarray(t), tau))
+
+    import torch.nn.functional as F
+    ref = F.kl_div(
+        F.log_softmax(torch.tensor(s) / tau, dim=1),
+        F.log_softmax(torch.tensor(t) / tau, dim=1),
+        reduction="sum", log_target=True,
+    ) * (tau * tau) / s.size
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def test_hard_distillation_matches_torch_ce():
+    rng = np.random.RandomState(1)
+    s = rng.randn(4, 10).astype(np.float32)
+    t = rng.randn(4, 10).astype(np.float32)
+    ours = float(hard_distillation(jnp.asarray(s), jnp.asarray(t)))
+    import torch.nn.functional as F
+    ref = F.cross_entropy(torch.tensor(s), torch.tensor(t).argmax(dim=1))
+    np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+
+def test_distillation_loss_blend_and_none():
+    base = jnp.float32(2.0)
+    s = jnp.ones((2, 4)); t = jnp.ones((2, 4))
+    assert float(distillation_loss(base, None, None, "none")) == 2.0
+    out = distillation_loss(base, s, t, "hard", alpha=0.5)
+    # hard CE of uniform logits = log(4)
+    np.testing.assert_allclose(float(out), 0.5 * 2.0 + 0.5 * np.log(4), rtol=1e-5)
+    with pytest.raises(ValueError):
+        distillation_loss(base, None, t, "hard")
+
+
+def test_distillation_loss_class_wrapper():
+    calls = []
+    def teacher(x):
+        calls.append(x.shape)
+        return jnp.zeros((x.shape[0], 4))
+    crit = DistillationLoss(
+        base_criterion=lambda o, l: jnp.float32(1.0),
+        teacher_model=teacher, distillation_type="hard", alpha=0.5, tau=5.0,
+    )
+    x = jnp.ones((2, 8, 8, 3))
+    out = crit(x, (jnp.ones((2, 4)), jnp.ones((2, 4))), jnp.zeros((2,), jnp.int32))
+    assert calls == [(2, 8, 8, 3)]
+    assert np.isfinite(float(out))
+
+
+def test_train_model_with_distillation_end_to_end():
+    train = SyntheticLoader(32, 16, 16, 4, seed=0)
+    student = _tiny_deit(distilled=True)
+    teacher_model = ViT(image_size=16, patch_size=4, num_layers=1, num_heads=2,
+                        hidden_dim=16, mlp_dim=32, num_classes=4)
+    t_vars = teacher_model.init(
+        {"params": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)},
+        jnp.zeros((1, 16, 16, 3)),
+    )
+    hist = student.train_model_with_distillation(
+        train, train, 2, teacher=(teacher_model, t_vars), verbose=False,
+        lr=3e-3,
+    )
+    assert len(hist["train_loss"]) == 2
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_train_model_with_distillation_requires_teacher():
+    with pytest.raises(ValueError, match="teacher"):
+        _tiny_deit().train_model_with_distillation(None, None, 1)
