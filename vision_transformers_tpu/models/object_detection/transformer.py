@@ -1,0 +1,275 @@
+"""DETR encoder-decoder transformer (TPU-native, completed).
+
+Same capability surface as the reference's models/object_detection/
+transformer.py:26-247: encoder layers with the positional embedding injected
+at Q and K only (``with_pos_embed``, transformer.py:138,210), decoder layers
+with query-pos self attention + cross attention into the encoder memory,
+pre-norm/post-norm option, ``return_intermediate`` decoder output for aux
+losses, xavier init (transformer.py:45-48).
+
+Reference defects fixed as intent (SURVEY.md §2.9.3): the ``hs.transpose(1,
+1)`` no-op / ``memory.permte`` typo, the multi_head_attn/multihead_attn
+attribute mismatch, and the ``dmodel``/``d_model`` mismatch read by Detr.
+
+TPU-first deltas: batch-first (B, S, D) layout (the reference permutes to
+seq-first for torch MHA); key-padding masks flow as boolean keep-masks into
+the shared attention dispatcher; dropout is functional.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_transformers_tpu.core.initializers import xavier_uniform_init, zeros_init
+from vision_transformers_tpu.ops.attention import dot_product_attention
+
+
+class CrossAttention(nn.Module):
+    """MHA with separate query/key/value inputs and key-padding mask."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, key_padding_mask=None, *,
+                 deterministic: bool = True):
+        b, sq, _ = q_in.shape
+        sk = k_in.shape[1]
+        h = self.nhead
+        dh = self.d_model // h
+
+        dense = lambda name: nn.Dense(
+            self.d_model, kernel_init=xavier_uniform_init(),
+            bias_init=zeros_init, dtype=self.dtype, name=name)
+        q = dense("q_proj")(q_in).reshape(b, sq, h, dh).transpose(0, 2, 1, 3)
+        k = dense("k_proj")(k_in).reshape(b, sk, h, dh).transpose(0, 2, 1, 3)
+        v = dense("v_proj")(v_in).reshape(b, sk, h, dh).transpose(0, 2, 1, 3)
+
+        mask = None
+        if key_padding_mask is not None:
+            # key_padding_mask: (B, Sk) True = PADDING (torch convention)
+            mask = ~key_padding_mask[:, None, None, :]
+
+        drop = 0.0 if deterministic else self.dropout
+        rng = self.make_rng("dropout") if drop > 0.0 else None
+        out = dot_product_attention(
+            q, k, v, mask=mask, dropout_rate=drop, dropout_rng=rng)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, self.d_model)
+        return dense("out_proj")(out)
+
+
+def _activation(name: str):
+    return {"relu": nn.relu, "gelu": nn.gelu, "glu": nn.glu}[name]
+
+
+class TransformerEncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, src_key_padding_mask=None, pos=None, *,
+                 deterministic: bool = True):
+        def with_pos(x):
+            return x if pos is None else x + pos
+
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        attn = CrossAttention(self.d_model, self.nhead, self.dropout,
+                              dtype=self.dtype, name="self_attn")
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+
+        def ffn(x):
+            x = nn.Dense(self.dim_feedforward,
+                         kernel_init=xavier_uniform_init(),
+                         bias_init=zeros_init, dtype=self.dtype,
+                         name="linear1")(x)
+            x = _activation(self.activation)(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            return nn.Dense(self.d_model, kernel_init=xavier_uniform_init(),
+                            bias_init=zeros_init, dtype=self.dtype,
+                            name="linear2")(x)
+
+        if self.normalize_before:
+            y = norm1(src)
+            y = attn(with_pos(y), with_pos(y), y, src_key_padding_mask,
+                     deterministic=deterministic)
+            src = src + drop(y)
+            y = norm2(src)
+            return src + drop(ffn(y))
+        y = attn(with_pos(src), with_pos(src), src, src_key_padding_mask,
+                 deterministic=deterministic)
+        src = norm1(src + drop(y))
+        return norm2(src + drop(ffn(src)))
+
+
+class TransformerDecoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_key_padding_mask=None,
+                 pos=None, query_pos=None, *, deterministic: bool = True):
+        def with_qpos(x):
+            return x if query_pos is None else x + query_pos
+
+        def with_pos(x):
+            return x if pos is None else x + pos
+
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        self_attn = CrossAttention(self.d_model, self.nhead, self.dropout,
+                                   dtype=self.dtype, name="self_attn")
+        cross_attn = CrossAttention(self.d_model, self.nhead, self.dropout,
+                                    dtype=self.dtype, name="multihead_attn")
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+
+        def ffn(x):
+            x = nn.Dense(self.dim_feedforward,
+                         kernel_init=xavier_uniform_init(),
+                         bias_init=zeros_init, dtype=self.dtype,
+                         name="linear1")(x)
+            x = _activation(self.activation)(x)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            return nn.Dense(self.d_model, kernel_init=xavier_uniform_init(),
+                            bias_init=zeros_init, dtype=self.dtype,
+                            name="linear2")(x)
+
+        if self.normalize_before:
+            y = norm1(tgt)
+            y = self_attn(with_qpos(y), with_qpos(y), y,
+                          deterministic=deterministic)
+            tgt = tgt + drop(y)
+            y = norm2(tgt)
+            y = cross_attn(with_qpos(y), with_pos(memory), memory,
+                           memory_key_padding_mask,
+                           deterministic=deterministic)
+            tgt = tgt + drop(y)
+            y = norm3(tgt)
+            return tgt + drop(ffn(y))
+        y = self_attn(with_qpos(tgt), with_qpos(tgt), tgt,
+                      deterministic=deterministic)
+        tgt = norm1(tgt + drop(y))
+        y = cross_attn(with_qpos(tgt), with_pos(memory), memory,
+                       memory_key_padding_mask, deterministic=deterministic)
+        tgt = norm2(tgt + drop(y))
+        return norm3(tgt + drop(ffn(tgt)))
+
+
+class TransformerEncoder(nn.Module):
+    d_model: int
+    nhead: int
+    num_layers: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, src_key_padding_mask=None, pos=None, *,
+                 deterministic: bool = True):
+        out = src
+        for i in range(self.num_layers):
+            out = TransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout, self.activation, self.normalize_before,
+                dtype=self.dtype, name=f"layer{i}",
+            )(out, src_key_padding_mask, pos, deterministic=deterministic)
+        if self.normalize_before:
+            out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        return out
+
+
+class TransformerDecoder(nn.Module):
+    d_model: int
+    nhead: int
+    num_layers: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    return_intermediate: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_key_padding_mask=None,
+                 pos=None, query_pos=None, *, deterministic: bool = True):
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        out = tgt
+        intermediate = []
+        for i in range(self.num_layers):
+            out = TransformerDecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout, self.activation, self.normalize_before,
+                dtype=self.dtype, name=f"layer{i}",
+            )(out, memory, memory_key_padding_mask, pos, query_pos,
+              deterministic=deterministic)
+            if self.return_intermediate:
+                intermediate.append(norm(out))
+        if self.return_intermediate:
+            return jnp.stack(intermediate)  # (L, B, Q, D)
+        return norm(out)[None]
+
+
+class Transformer(nn.Module):
+    """Full DETR transformer (transformer.py:26-63 semantics, bugs fixed).
+
+    ``__call__(src, mask, query_embed, pos_embed)`` with src (B, H, W, C)
+    NHWC, mask (B, H, W) True=padding, query_embed (Q, D), pos_embed
+    (B, H, W, C). Returns (hs (L|1, B, Q, D), memory (B, H, W, C)).
+    """
+
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = False
+    return_intermediate_dec: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, mask, query_embed, pos_embed, *,
+                 deterministic: bool = True):
+        b, h, w, c = src.shape
+        src_seq = src.reshape(b, h * w, c)
+        pos_seq = pos_embed.reshape(b, h * w, c)
+        mask_seq = mask.reshape(b, h * w) if mask is not None else None
+        q = query_embed.shape[0]
+        query = jnp.broadcast_to(query_embed[None], (b, q, self.d_model))
+        tgt = jnp.zeros_like(query)
+
+        memory = TransformerEncoder(
+            self.d_model, self.nhead, self.num_encoder_layers,
+            self.dim_feedforward, self.dropout, self.activation,
+            self.normalize_before, dtype=self.dtype, name="encoder",
+        )(src_seq, mask_seq, pos_seq, deterministic=deterministic)
+
+        hs = TransformerDecoder(
+            self.d_model, self.nhead, self.num_decoder_layers,
+            self.dim_feedforward, self.dropout, self.activation,
+            self.normalize_before, self.return_intermediate_dec,
+            dtype=self.dtype, name="decoder",
+        )(tgt, memory, mask_seq, pos_seq, query,
+          deterministic=deterministic)
+
+        return hs, memory.reshape(b, h, w, c)
