@@ -2,28 +2,31 @@
 
 Replaces the fused attention the reference gets for free from
 ``torch.nn.MultiheadAttention`` (vanilla_vit.py:67,77) and the hand-rolled
-softmax(QK^T)V paths in Swin/PVT/Twins/TNT — one blocked kernel covering:
+softmax(QK^T)V paths in Swin/PVT/Twins/TNT — one kernel covering:
 
 - full self attention (ViT/DeiT/TNT/T2T),
 - attention with an additive per-head bias (Swin relative position bias +
   shift mask, swin_transformer.py:90-113),
-- cross attention with Sq != Sk (PVT/Twins SRA where K/V are spatially
-  reduced, pvt.py:57-73; DETR decoder).
+- cross attention with Sq != Sk (PVT/Twins SRA reduced K/V, pvt.py:57-73).
 
-Design notes (TPU-first, see /opt/skills/guides/pallas_guide.md):
-- Vision sequence lengths here are small (65..1025), so K/V for one (batch,
-  head) always fit in VMEM. The kernel therefore streams q blocks over a
-  (batch*head, q_block) grid, holds K/V whole, and does a single-pass fp32
-  softmax per q block — no online-softmax rescaling passes are needed, which
-  removes two VPU passes per block relative to the generic flash recipe.
-- Sequence padding is static (XLA static shapes): callers pad S to a lane
-  multiple and pass ``kv_valid``; masking uses a compile-time iota compare.
-- fp32 scores/softmax, bf16 matmul inputs, fp32 accumulation
-  (preferred_element_type).
-- Backward is expressed in jnp on saved (out, lse) residuals: at these
-  sequence lengths the S×S score rematerialization is a handful of MXU tiles
-  and XLA fuses it cleanly; a dedicated Pallas backward is an optimization
-  valve, not a requirement.
+Design notes (TPU-first; profiled on v5e — see git history):
+- Vision attention here is many small heads (S = 49..1025, D = 32..64), so
+  per-(batch·head) grid programs drown in launch overhead (3072 programs
+  for ViT-B/16 ≈ 9 ms/layer). The kernel instead processes a BLOCK of
+  (batch·head) pairs per program with *batched* ``dot_general`` — grid
+  ~100 programs — and keeps K/V whole in VMEM (they always fit at these
+  sequence lengths), doing a single-pass fp32 softmax. No online-softmax
+  rescaling is needed.
+- No HBM padding round-trips: blocks use the array's true S and D (Mosaic
+  pads sublanes/lanes in registers). Only the (batch·head) axis is padded
+  to the block multiple.
+- Bias with a broadcast leading dim (per-head, shared across batch) is
+  indexed compactly via a grid modulo — the group block size is chosen to
+  divide the bias groups so each program sees one contiguous bias block.
+- fp32 scores/softmax, bf16 matmul inputs, fp32 accumulation.
+- Backward is jnp on saved (out, lse) residuals: the S×S rematerialization
+  is a handful of MXU tiles at these shapes and XLA fuses it; a Pallas
+  backward is an optimization valve, not a requirement.
 """
 
 from __future__ import annotations
@@ -38,69 +41,104 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# VMEM budget for the per-program fp32 score block (bytes). Conservative:
+# Mosaic double-buffers the input blocks and materializes exp/prob
+# temporaries alongside the scores.
+_SCORE_BUDGET = 2 * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_valid, bias_ref=None):
-    """One (batch*head, q_block) program: softmax(scale·QKᵀ + bias)V.
+def _pick_group_block(g: int, s_q: int, s_k: int, bias_g: Optional[int]) -> int:
+    """Largest block of (batch·head) pairs per program that fits the score
+    budget and divides the bias group count (for contiguous bias blocks)."""
+    cap = max(1, _SCORE_BUDGET // max(s_q * s_k * 4, 1))
+    cap = min(cap, 64)
+    blk = min(cap, g)
+    while blk > 1:
+        if g % blk == 0 and (bias_g is None or bias_g % blk == 0 or blk % bias_g == 0):
+            return blk
+        blk -= 1
+    return 1
 
-    q_ref: (block_q, d), k_ref/v_ref: (s_k, d), bias_ref: (block_q, s_k).
+
+def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, *, scale, kv_valid,
+                 bias_ref=None, bias_g=None):
+    """One program: a (G_BLK, Sq, D) batch of heads against full K/V.
+
+    K arrives pre-transposed as (G_BLK, D, Sk): the QKᵀ contraction then
+    runs lane(q)×sublane(kᵀ) — MXU-native, no per-program register
+    transposes (the HBM transpose is one fused XLA pass outside).
     """
     q = q_ref[...]
-    k = k_ref[...]
+    kt = kt_ref[...]
     v = v_ref[...]
 
     s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        q, kt,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),  # batched over G_BLK
         preferred_element_type=jnp.float32,
-    )
+    )  # (G_BLK, Sq, Sk)
     s = s * scale
     if bias_ref is not None:
-        s = s + bias_ref[...].astype(jnp.float32)
+        b = bias_ref[...].astype(jnp.float32)
+        if b.shape[0] != s.shape[0]:  # bias groups tile across the block
+            b = jnp.tile(b, (s.shape[0] // b.shape[0], 1, 1))
+        s = s + b
 
-    s_k = k.shape[0]
+    s_k = kt.shape[2]
     if kv_valid < s_k:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
         s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
-    lse_ref[...] = m + jnp.log(denom)  # (block_q, 1)
+    lse_ref[...] = m + jnp.log(denom)  # (G_BLK, Sq, 1)
+    p = e * pl.reciprocal(denom, approx=False)
 
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, bias, scale: float, kv_valid: int, block_q: int):
-    """q: (G, Sq, D); k, v: (G, Sk, D); bias: None or (G or 1, Sq, Sk)."""
+    """q: (G, Sq, D); k, v: (G, Sk, D); bias: None or (bias_g, Sq, Sk)
+    with bias_g in {1, h, G} (heads fastest-varying in G)."""
     g, s_q, d = q.shape
     s_k = k.shape[1]
-    block_q = min(block_q, s_q)
-    num_q_blocks = pl.cdiv(s_q, block_q)
+    bias_g = bias.shape[0] if bias is not None else None
+
+    g_blk = _pick_group_block(g, s_q, s_k, bias_g)
+    grid = (g // g_blk,)
+
+    kt = k.swapaxes(1, 2)  # (G, D, Sk): one fused XLA transpose in HBM
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g_blk, s_q, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g_blk, d, s_k), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g_blk, s_k, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [q, k, v]
+    args = [q, kt, v]
     if bias is not None:
-        # bias leading dim may be g (per batch*head), h (shared across batch,
-        # heads fastest-varying in g), or 1 (fully shared): index with mod.
-        bias_g = bias.shape[0]
-        bmap = lambda b, i: (b % bias_g, i, 0)
-        in_specs.append(
-            pl.BlockSpec((1, block_q, s_k), bmap, memory_space=pltpu.VMEM)
-        )
+        if bias_g >= g_blk:
+            # contiguous bias block per program (g_blk divides bias_g)
+            bmap = lambda i: (i % (bias_g // g_blk), 0, 0)
+            bias_block = g_blk
+        else:
+            # bias_g divides g_blk: every program tiles the full bias
+            bmap = lambda i: (0, 0, 0)
+            bias_block = bias_g
+        in_specs.append(pl.BlockSpec(
+            (bias_block, s_q, s_k), bmap, memory_space=pltpu.VMEM))
         args.append(bias)
 
     def kernel(*refs):
@@ -110,31 +148,30 @@ def _flash_fwd(q, k, v, bias, scale: float, kv_valid: int, block_q: int):
             q_ref, k_ref, v_ref, o_ref, lse_ref = refs
             bias_ref = None
         _attn_kernel(
-            q_ref.at[0], k_ref.at[0], v_ref.at[0],
-            o_ref.at[0], lse_ref.at[0],
+            q_ref, k_ref, v_ref, o_ref, lse_ref,
             scale=scale, kv_valid=kv_valid,
-            bias_ref=None if bias_ref is None else bias_ref.at[0],
+            bias_ref=bias_ref, bias_g=bias_g,
         )
 
-    # Off-TPU (CPU test meshes) the kernel runs in interpreter mode, keeping
-    # one code path; the jnp twin remains the semantic oracle in tests.
     interpret = jax.default_backend() != "tpu"
 
     out, lse = pl.pallas_call(
         kernel,
-        grid=(g, num_q_blocks),
+        grid=grid,
         interpret=interpret,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_blk, s_q, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_blk, s_q, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((g, s_q, d), q.dtype),
             jax.ShapeDtypeStruct((g, s_q, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * g * s_q * s_k * d,
@@ -169,7 +206,8 @@ def _flash_attention_bwd(scale, kv_valid, block_q, res, do):
         if bias_g == s.shape[0]:
             s = s + bias.astype(jnp.float32)
         else:  # bias shared across batch (heads fastest-varying in g)
-            s = s + jnp.tile(bias.astype(jnp.float32), (s.shape[0] // bias_g, 1, 1))
+            s = s + jnp.tile(bias.astype(jnp.float32),
+                             (s.shape[0] // bias_g, 1, 1))
     s_k = k.shape[1]
     if kv_valid < s_k:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
@@ -189,9 +227,7 @@ def _flash_attention_bwd(scale, kv_valid, block_q, res, do):
         if bias_g == ds.shape[0]:
             dbias = ds
         else:  # bias was broadcast over the batch: reduce the broadcast dim
-            dbias = jnp.sum(
-                ds.reshape(-1, bias_g, *ds.shape[1:]), axis=0
-            )
+            dbias = jnp.sum(ds.reshape(-1, bias_g, *ds.shape[1:]), axis=0)
         dbias = dbias.astype(bias.dtype)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
 
@@ -209,11 +245,11 @@ def flash_attention(
     kv_valid: Optional[int] = None,
     block_q: int = 256,
 ) -> jax.Array:
-    """Blocked TPU attention over (B, H, S, D) inputs.
+    """Batched TPU attention over (B, H, S, D) inputs.
 
-    Pads S and D to hardware tiles internally; ``kv_valid`` (static) marks
-    how many keys are real after padding. ``bias`` is additive, broadcast
-    over batch if its leading dim is 1: (1|B, H, Sq, Sk).
+    ``bias`` is additive, (1|H-groups|B, H, Sq, Sk) — a leading dim smaller
+    than B is broadcast over the batch (heads fastest-varying).
+    ``kv_valid`` (static) masks trailing key padding.
     """
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
@@ -222,23 +258,12 @@ def flash_attention(
     if kv_valid is None:
         kv_valid = s_k
 
-    # Static padding to VPU/MXU-friendly tiles.
-    s_qp = _round_up(s_q, 128)
-    s_kp = _round_up(s_k, 128)
-    dp = _round_up(d, 128)
-    q = jnp.pad(q, ((0, 0), (0, 0), (0, s_qp - s_q), (0, dp - d)))
-    k = jnp.pad(k, ((0, 0), (0, 0), (0, s_kp - s_k), (0, dp - d)))
-    v = jnp.pad(v, ((0, 0), (0, 0), (0, s_kp - s_k), (0, dp - d)))
-
     g = b * h
-    q = q.reshape(g, s_qp, dp)
-    k = k.reshape(g, s_kp, dp)
-    v = v.reshape(g, s_kp, dp)
+    q = q.reshape(g, s_q, d)
+    k = k.reshape(g, s_k, d)
+    v = v.reshape(g, s_k, d)
     if bias is not None:
-        bb = bias.shape[0]
-        bias = jnp.pad(
-            bias, ((0, 0), (0, 0), (0, s_qp - s_q), (0, s_kp - s_k))
-        ).reshape(bb * h, s_qp, s_kp)
+        bias = bias.reshape(bias.shape[0] * h, s_q, s_k)
 
     out = _flash_attention(q, k, v, bias, scale, min(kv_valid, s_k), block_q)
-    return out.reshape(b, h, s_qp, dp)[:, :, :s_q, :d]
+    return out.reshape(b, h, s_q, d)
