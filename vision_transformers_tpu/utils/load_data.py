@@ -207,9 +207,17 @@ class ArrayLoader:
                 idx = order[i:i + self.batch_size]
                 x = self.images[idx]
                 if self.augment:
-                    x = random_crop_batch(x, rng)
-                    x = random_hflip_batch(x, rng)
-                    x = brightness_jitter_batch(x, rng)
+                    # native fused crop+flip+jitter (single pass, C++);
+                    # numpy three-pass fallback is seed-compatible
+                    from vision_transformers_tpu import native
+
+                    fused = native.fused_augment(x, rng)
+                    if fused is not None:
+                        x = fused
+                    else:
+                        x = random_crop_batch(x, rng)
+                        x = random_hflip_batch(x, rng)
+                        x = brightness_jitter_batch(x, rng)
                 q.put((x, self.labels[idx]))
         finally:
             q.put(None)
