@@ -1,0 +1,110 @@
+"""Training CLI / experiment driver.
+
+The reference's entry points are per-model ``__main__`` blocks and
+main.ipynb (SURVEY.md §2.8) — there is no CLI. This provides both: a thin
+argparse CLI over the args registry plus ``run_reference_main``, the shared
+implementation behind each model file's ``__main__`` block (one function
+instead of eight pasted blocks).
+
+    python -m vision_transformers_tpu.cli vit_tiny_cifar100 \
+        --epochs 100 --batch-size 256 --data-root ./data
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+MODEL_FAMILIES = {}
+
+
+def _model_for(name: str):
+    """Map an args-registry key like 'swin_tiny_cifar100' to a model class."""
+    from vision_transformers_tpu.models import image_classification as ic
+
+    family = name.split("_")[0].lower()
+    table = {
+        "vit": ic.ViT,
+        "vitb16": ic.ViT,
+        "vitl16": ic.ViT,
+        "vitti16": ic.ViT,
+        "swin": ic.SwinTransformer,
+        "deit": ic.__dict__.get("DeiT"),
+        "cpevit": ic.CPEViT,
+        "cpvt": ic.CPVT,
+        "cpvtgap": ic.CPVTGAP,
+        "pvt": ic.PVT,
+        "t2t": ic.T2T_ViT,
+        "tnt": ic.TNT,
+        "twins": ic.TwinSVT,
+    }
+    if family not in table or table[family] is None:
+        raise SystemExit(f"unknown model family {family!r} in {name!r}")
+    return table[family]
+
+
+def run_reference_main(model_name: str, epochs: int = 100,
+                       batch_size: int = 256, val_split: float = 0.2,
+                       num_workers: int = 4, data_root: str = "./data",
+                       lr: float = 1e-4, **fit_kwargs):
+    """The reference's per-model __main__ recipe (vanilla_vit.py:311-324):
+    loaders → args → model → train_model."""
+    from vision_transformers_tpu.utils.args import get_args
+    from vision_transformers_tpu.utils.load_data import get_train_test_loaders
+
+    dataset = model_name.split("_")[-1]
+    train_loader, val_loader, test_loader = get_train_test_loaders(
+        dataset_name=dataset, batch_size=batch_size,
+        val_split=val_split, num_workers=num_workers, root_dir=data_root,
+    )
+    family = model_name.split("_")[0].lower()
+    try:
+        args = get_args(model_name)
+    except KeyError:
+        from vision_transformers_tpu.utils.args import _DATASET_CLASSES
+
+        if family in ("cpevit", "cpvt", "cpvtgap", "t2t"):
+            # these reuse the ViT-tiny preset in the reference __main__s
+            args = get_args(f"vit_tiny_{dataset}")
+        else:
+            # PVT/TNT/Twins use constructor defaults in the reference
+            args = {"num_classes": _DATASET_CLASSES[dataset.lower()]}
+    cls = _model_for(model_name)
+    if args.pop("distilled_training", False):
+        raise SystemExit(
+            "distilled DeiT training needs an injected teacher — use "
+            "DeiT.train_model_with_distillation(...) directly")
+    model = cls(**args)
+    print(model)
+    return model.train_model(
+        model, train_loader, test_loader, epochs, val_loader,
+        lr=lr, **fit_kwargs,
+    )
+
+
+def main(argv: Optional[list] = None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model", help="args-registry key, e.g. vit_tiny_cifar100")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--val-split", type=float, default=0.2)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--data-root", default="./data")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "adamw", "sgd", "rmsprop"])
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+    run_reference_main(
+        a.model, epochs=a.epochs, batch_size=a.batch_size,
+        val_split=a.val_split, num_workers=a.num_workers,
+        data_root=a.data_root, lr=a.lr, optimizer=a.optimizer,
+        checkpoint_dir=a.checkpoint_dir, checkpoint_every=a.checkpoint_every,
+        seed=a.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

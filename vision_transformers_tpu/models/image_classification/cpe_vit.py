@@ -64,3 +64,11 @@ class CPEViT(nn.Module, TrainableModel):
     def __call__(self, images, *, deterministic: bool = True):
         feats = self.forward_features(images, deterministic=deterministic)
         return self.head(feats[:, 0])
+
+
+if __name__ == "__main__":
+    # Reference-style entry point (vanilla_vit.py:311-324 pattern):
+    # python -m vision_transformers_tpu.models.image_classification.cpe_vit
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("cpevit_cifar100")

@@ -122,3 +122,9 @@ class CPVTGAP(_CPVTBase):
     def __call__(self, images, *, deterministic: bool = True):
         feats = self.forward_features(images, deterministic=deterministic)
         return self.head(jnp.mean(feats[:, 1:], axis=1))
+
+
+if __name__ == "__main__":
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("cpvt_cifar100")

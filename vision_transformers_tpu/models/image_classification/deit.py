@@ -244,3 +244,11 @@ class DeiT(nn.Module, TrainableModel):
 
         history["final_state"] = state
         return history
+
+
+if __name__ == "__main__":
+    # Distilled training needs an injected teacher (no pretrained zoo on
+    # TPU); the plain variant trains via the shared loop:
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("deit_tiny_cifar100")

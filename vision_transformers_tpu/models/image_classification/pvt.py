@@ -176,3 +176,11 @@ class PVT(nn.Module, TrainableModel):
         return cls_feat
         # headless features (reference forward_features, pvt.py:240): use
         # PVT(num_classes=0) — returns the post-norm CLS feature.
+
+
+if __name__ == "__main__":
+    # Reference-style entry point (vanilla_vit.py:311-324 pattern):
+    # python -m vision_transformers_tpu.models.image_classification.pvt
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("pvt_cifar100")

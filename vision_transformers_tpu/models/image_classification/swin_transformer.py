@@ -121,3 +121,11 @@ class SwinTransformer(nn.Module, TrainableModel):
             kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
             dtype=self.dtype, name="head",
         )(x)
+
+
+if __name__ == "__main__":
+    # Reference-style entry point (vanilla_vit.py:311-324 pattern):
+    # python -m vision_transformers_tpu.models.image_classification.swin_transformer
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("swin_tiny_cifar100")

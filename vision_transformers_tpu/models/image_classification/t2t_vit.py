@@ -146,3 +146,11 @@ class T2T_ViT(nn.Module, TrainableModel):
     def __call__(self, images, *, deterministic: bool = True):
         feats = self.forward_features(images, deterministic=deterministic)
         return self.head(feats[:, 0])
+
+
+if __name__ == "__main__":
+    # Reference-style entry point (vanilla_vit.py:311-324 pattern):
+    # python -m vision_transformers_tpu.models.image_classification.t2t_vit
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("t2t_cifar100")

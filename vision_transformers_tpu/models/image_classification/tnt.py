@@ -264,3 +264,11 @@ class TNT(nn.Module, TrainableModel):
                 dtype=self.dtype, name="head",
             )(feats)
         return feats
+
+
+if __name__ == "__main__":
+    # Reference-style entry point (vanilla_vit.py:311-324 pattern):
+    # python -m vision_transformers_tpu.models.image_classification.tnt
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("tnt_cifar100")

@@ -227,3 +227,11 @@ class TwinSVT(nn.Module, TrainableModel):
                 dtype=self.dtype, name="head",
             )(x)
         return x
+
+
+if __name__ == "__main__":
+    # Reference-style entry point (vanilla_vit.py:311-324 pattern):
+    # python -m vision_transformers_tpu.models.image_classification.twins_svt
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("twins_cifar100")

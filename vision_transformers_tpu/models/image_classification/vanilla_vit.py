@@ -162,3 +162,11 @@ class ViT(nn.Module, TrainableModel):
             return self.head(feats[:, 0]), weights
         feats = self.forward_features(images, deterministic=deterministic)
         return self.head(feats[:, 0])
+
+
+if __name__ == "__main__":
+    # Reference-style entry point (vanilla_vit.py:311-324 pattern):
+    # python -m vision_transformers_tpu.models.image_classification.vanilla_vit
+    from vision_transformers_tpu.cli import run_reference_main
+
+    run_reference_main("vit_tiny_cifar100")
