@@ -72,12 +72,37 @@ def main():
     target = 0.95 * roofline_ips
     mfu = images_per_sec * flops / V5E_PEAK_FLOPS
 
+    # training step throughput (fwd+bwd+Adam ≈ 3× fwd FLOPs)
+    train_ips = train_mfu = None
+    if on_tpu:
+        from vision_transformers_tpu.training.trainer import (
+            make_train_state, train_step_fn,
+        )
+
+        tb = 128
+        xt = x[:tb]
+        labels = jnp.zeros((tb,), jnp.int32)
+        w = jnp.ones((tb,), jnp.float32)
+        state = make_train_state(model, jax.random.PRNGKey(0), xt[:1], lr=1e-3)
+        step = jax.jit(train_step_fn(model), donate_argnums=0)
+        rng = jax.random.PRNGKey(1)
+        state, l, _, _ = step(state, xt, labels, w, rng)
+        float(l)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, l, _, _ = step(state, xt, labels, w, rng)
+        float(l)
+        train_ips = tb * 10 / (time.perf_counter() - t0)
+        train_mfu = train_ips * 3 * flops / V5E_PEAK_FLOPS
+
     print(json.dumps({
         "metric": "vit_b16_224_bf16_infer",
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / target, 4),
         "mfu": round(mfu, 4),
+        "train_images_per_sec": None if train_ips is None else round(train_ips, 1),
+        "train_mfu": None if train_mfu is None else round(train_mfu, 4),
         "batch": batch,
         "backend": jax.default_backend(),
     }))

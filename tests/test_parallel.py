@@ -1,0 +1,110 @@
+"""Sharding / multi-device tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vision_transformers_tpu.models.image_classification import ViT
+from vision_transformers_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_partition_spec,
+    shard_params,
+)
+from vision_transformers_tpu.training.trainer import (
+    TrainState,
+    train_step_fn,
+)
+
+
+def _tiny_vit():
+    return ViT(image_size=16, patch_size=4, num_layers=2, num_heads=4,
+               hidden_dim=64, mlp_dim=128, num_classes=10)
+
+
+def test_partition_rules():
+    assert param_partition_spec("encoder/layer0/self_attention/qkv/kernel") \
+        == P(None, "model")
+    assert param_partition_spec("a/b/out/kernel") == P("model", None)
+    assert param_partition_spec("x/mlp/fc1/bias") == P("model")
+    assert param_partition_spec("x/mlp/fc2/kernel") == P("model", None)
+    assert param_partition_spec("pos_embedding") == P()
+    assert param_partition_spec("head/kernel") == P()
+
+
+def test_shard_params_places_shards():
+    mesh = make_mesh((4, 2), ("data", "model"))
+    model = _tiny_vit()
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+    )
+    params = shard_params(v["params"], mesh)
+    qkv = params["encoder"]["encoder_layer_0"]["self_attention"]["qkv"]["kernel"]
+    spec = qkv.sharding.spec
+    assert spec == P(None, "model")
+    # non-divisible or unmatched params stay replicated
+    pos = params["encoder"]["pos_embedding"]
+    assert pos.sharding.spec == P()
+
+
+def test_dp_tp_train_step_matches_single_device():
+    """The same train step on a 4x2 DP×TP mesh and on one device must agree
+    (the sharding annotation changes layout, not math)."""
+    model = _tiny_vit()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    y = jnp.arange(8, dtype=jnp.int32) % 10
+    w = jnp.ones((8,), jnp.float32)
+    rng = jax.random.PRNGKey(42)
+
+    v = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x[:1],
+    )
+
+    def run(params, images, labels, weights):
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.adam(1e-3))
+        step = jax.jit(train_step_fn(model))
+        new_state, loss_sum, correct, n = step(state, images, labels,
+                                               weights, rng)
+        return float(loss_sum), float(correct), jax.device_get(
+            new_state.params)
+
+    loss_1, correct_1, params_1 = run(v["params"], x, y, w)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sharded = shard_params(v["params"], mesh)
+    xd = jax.device_put(x, batch_sharding(mesh))
+    yd = jax.device_put(y, batch_sharding(mesh))
+    wd = jax.device_put(w, batch_sharding(mesh))
+    loss_8, correct_8, params_8 = run(sharded, xd, yd, wd)
+
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    assert correct_1 == correct_8
+    flat1 = jax.tree_util.tree_leaves(params_1)
+    flat8 = jax.tree_util.tree_leaves(params_8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_pure_dp_mesh_eval():
+    from vision_transformers_tpu.training.trainer import eval_step_fn
+
+    mesh = make_mesh(axis_names=("data",))
+    model = _tiny_vit()
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, 16, 3)),
+    )
+    params = jax.device_put(v["params"], NamedSharding(mesh, P()))
+    x = jax.device_put(jnp.ones((16, 16, 16, 3)), batch_sharding(mesh))
+    y = jax.device_put(jnp.zeros((16,), jnp.int32), batch_sharding(mesh))
+    w = jax.device_put(jnp.ones((16,)), batch_sharding(mesh))
+    step = jax.jit(eval_step_fn(model))
+    loss_sum, correct, n = step(params, x, y, w)
+    assert float(n) == 16.0

@@ -77,7 +77,7 @@ class TokenPerformer(nn.Module):
             emb, kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
             dtype=self.dtype, name="mlp_fc1",
         )(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(
             emb, kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
             dtype=self.dtype, name="mlp_fc2",

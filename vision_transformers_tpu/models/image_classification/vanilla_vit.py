@@ -39,7 +39,7 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True, return_weights: bool = False):
+    def __call__(self, x, deterministic: bool = True, return_weights: bool = False):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
         attn = SelfAttention(
             self.hidden_dim, self.num_heads,
@@ -75,6 +75,7 @@ class Encoder(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     attention_dropout: float = 0.0
+    remat: bool = False  # rematerialize blocks: FLOPs for activation memory
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,18 +86,23 @@ class Encoder(nn.Module):
         )
         x = x + pos.astype(x.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        block_cls = EncoderBlock
+        if self.remat and not return_weights:
+            # jax.checkpoint per block (SURVEY.md: trade FLOPs for HBM);
+            # flag args passed positionally and marked static.
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
         all_weights = []
         for i in range(self.num_layers):
-            block = EncoderBlock(
+            block = block_cls(
                 self.num_heads, self.hidden_dim, self.mlp_dim,
                 self.dropout, self.attention_dropout,
                 dtype=self.dtype, name=f"encoder_layer_{i}",
             )
             if return_weights:
-                x, w = block(x, deterministic=deterministic, return_weights=True)
+                x, w = block(x, deterministic, True)
                 all_weights.append(w)
             else:
-                x = block(x, deterministic=deterministic)
+                x = block(x, deterministic, False)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(x)
         if return_weights:
             return x, all_weights
@@ -113,6 +119,7 @@ class ViT(nn.Module, TrainableModel):
     dropout: float = 0.0
     attention_dropout: float = 0.0
     num_classes: int = 1000
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -133,6 +140,7 @@ class ViT(nn.Module, TrainableModel):
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
             attention_dropout=self.attention_dropout,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.head = nn.Dense(

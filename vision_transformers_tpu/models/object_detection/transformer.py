@@ -65,7 +65,8 @@ class CrossAttention(nn.Module):
 
 
 def _activation(name: str):
-    return {"relu": nn.relu, "gelu": nn.gelu, "glu": nn.glu}[name]
+    return {"relu": nn.relu, "glu": nn.glu,
+            "gelu": lambda x: nn.gelu(x, approximate=False)}[name]
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -43,7 +43,7 @@ class MLPBlock(nn.Module):
             dtype=self.dtype,
             name="fc1",
         )(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # exact erf GELU (torch parity)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             out_dim,
@@ -63,7 +63,7 @@ class Mlp(nn.Module):
     hidden_dim: Optional[int] = None
     out_dim: Optional[int] = None
     dropout: float = 0.0
-    act: Callable = nn.gelu
+    act: Callable = lambda x: nn.gelu(x, approximate=False)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -36,6 +36,10 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+# Surface parity: the reference's load_data.py also exposes a raw COCO
+# dataset class (load_data.py:87-135); ours lives with the COCO stack.
+from vision_transformers_tpu.utils.coco.build_coco import CocoDetection  # noqa: F401
+
 _STATS = {
     "cifar100": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     "cifar10": ((0.4914, 0.4822, 0.4465), (0.2023, 0.1994, 0.2010)),
