@@ -41,20 +41,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-# VMEM budget for the per-program fp32 score block (bytes). Conservative:
-# Mosaic double-buffers the input blocks and materializes exp/prob
-# temporaries alongside the scores.
-_SCORE_BUDGET = 2 * 1024 * 1024
+# Per-program VMEM target (bytes): leave headroom under the 16 MB VMEM for
+# Mosaic's double-buffered pipelining and fusion temporaries.
+_VMEM_TARGET = 10 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_group_block(g: int, s_q: int, s_k: int, bias_g: Optional[int]) -> int:
-    """Largest block of (batch·head) pairs per program that fits the score
-    budget and divides the bias group count (for contiguous bias blocks)."""
-    cap = max(1, _SCORE_BUDGET // max(s_q * s_k * 4, 1))
+def _pick_group_block(g: int, s_q: int, s_k: int, d: int, itemsize: int,
+                      bias_g: Optional[int]) -> int:
+    """Largest block of (batch·head) pairs per program whose working set
+    fits VMEM and that divides the bias group count (contiguous bias
+    blocks). Working set per pair ≈ 4 fp32 score-sized buffers (scores,
+    exp, prob + slack) + double-buffered q/kT/v/out blocks."""
+    scores = 4 * s_q * s_k * 4
+    inputs = 2 * (2 * s_q * d + 2 * s_k * d) * itemsize
+    if bias_g is not None:
+        scores += s_q * s_k * 4  # bias block rides along
+    cap = max(1, _VMEM_TARGET // max(scores + inputs, 1))
     cap = min(cap, 64)
     blk = min(cap, g)
     while blk > 1:
@@ -114,7 +120,7 @@ def _flash_fwd(q, k, v, bias, scale: float, kv_valid: int, block_q: int):
     s_k = k.shape[1]
     bias_g = bias.shape[0] if bias is not None else None
 
-    g_blk = _pick_group_block(g, s_q, s_k, bias_g)
+    g_blk = _pick_group_block(g, s_q, s_k, d, q.dtype.itemsize, bias_g)
     grid = (g // g_blk,)
 
     kt = k.swapaxes(1, 2)  # (G, D, Sk): one fused XLA transpose in HBM

@@ -61,6 +61,48 @@ def _default_preprocess(images, normalize):
     return x
 
 
+def multi_train_step_fn(model, normalize=None, loss_fn=None):
+    """k steps per dispatch via lax.scan — amortizes host→device dispatch
+    latency for small models (batches stacked to (k, B, ...))."""
+    step = train_step_fn(model, normalize, loss_fn)
+
+    def multi(state: TrainState, images, labels, weights, rng):
+        def body(state, batch):
+            im, lb, w = batch
+
+            def do_step(st):
+                return step(st, im, lb, w, rng)
+
+            def skip(st):  # all-padding batch (epoch-tail chunk filler):
+                return st, jnp.float32(0), jnp.float32(0), jnp.float32(0)
+
+            state, l, c, n = jax.lax.cond(
+                jnp.sum(w) > 0, do_step, skip, state)
+            return state, (l, c, n)
+
+        state, (ls, cs, ns) = jax.lax.scan(
+            body, state, (images, labels, weights))
+        return state, jnp.sum(ls), jnp.sum(cs), jnp.sum(ns)
+
+    return multi
+
+
+def multi_eval_step_fn(model, normalize=None, loss_fn=None):
+    step = eval_step_fn(model, normalize, loss_fn)
+
+    def multi(params, images, labels, weights):
+        def body(carry, batch):
+            im, lb, w = batch
+            l, c, n = step(params, im, lb, w)
+            return carry, (l, c, n)
+
+        _, (ls, cs, ns) = jax.lax.scan(
+            body, 0, (images, labels, weights))
+        return jnp.sum(ls), jnp.sum(cs), jnp.sum(ns)
+
+    return multi
+
+
 def train_step_fn(model, normalize=None, loss_fn=None):
     """Build the jitted train step for a classification model."""
     loss_fn = loss_fn or cross_entropy_with_weights
@@ -167,6 +209,7 @@ def fit(
     verbose: bool = True,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
+    steps_per_call: int = 1,
     **opt_kwargs,
 ):
     """Train ``model``; returns the reference-parity metrics dict.
@@ -174,6 +217,10 @@ def fit(
     Loaders are any iterables of (images, labels) numpy/torch batches; an
     optional ``loader.normalize = (mean, std)`` attribute moves normalization
     onto the device (utils.load_data loaders set it).
+
+    ``steps_per_call > 1`` stacks that many batches per device dispatch and
+    runs them under one lax.scan — essential for small models where
+    per-step dispatch latency (e.g. the axon tunnel) exceeds compute.
     """
     rng = jax.random.PRNGKey(seed)
     normalize = getattr(train_loader, "normalize", None)
@@ -197,21 +244,48 @@ def fit(
         data_sharding = NamedSharding(mesh, P("data"))
         state = jax.device_put(state, repl)
 
-    train_step = jax.jit(train_step_fn(model, normalize, loss_fn), donate_argnums=0)
-    eval_step = jax.jit(eval_step_fn(model, normalize, loss_fn))
+    k = max(1, steps_per_call)
+    if k == 1:
+        train_step = jax.jit(
+            train_step_fn(model, normalize, loss_fn), donate_argnums=0)
+        eval_step = jax.jit(eval_step_fn(model, normalize, loss_fn))
+    else:
+        train_step = jax.jit(
+            multi_train_step_fn(model, normalize, loss_fn), donate_argnums=0)
+        eval_step = jax.jit(multi_eval_step_fn(model, normalize, loss_fn))
 
     def put(arrs):
         if data_sharding is None:
             return [jnp.asarray(a) for a in arrs]
         return [jax.device_put(a, data_sharding) for a in arrs]
 
-    def run_eval(params, loader):
-        loss_sum = jnp.float32(0); correct = jnp.float32(0); count = jnp.float32(0)
+    def chunks(loader):
+        """Yield (images, labels, weights) stacked to (k, B, ...); the
+        epoch-tail chunk is padded with zero-weight batches."""
+        buf = []
         for images, labels in loader:
             images = _as_nhwc(_to_numpy(images))
             labels = _to_numpy(labels)
-            images, labels, weights = _pad_batch(images, labels, batch_size)
-            images, labels, weights = put([images, labels, weights])
+            buf.append(_pad_batch(images, labels, batch_size))
+            if len(buf) == k:
+                yield [np.stack(t) for t in zip(*buf)]
+                buf = []
+        if buf:
+            pad = buf[0]
+            while len(buf) < k:
+                buf.append((np.zeros_like(pad[0]), np.zeros_like(pad[1]),
+                            np.zeros_like(pad[2])))
+            yield [np.stack(t) for t in zip(*buf)]
+
+    def squeeze0(arrs):  # k == 1: drop the chunk axis
+        return [a[0] for a in arrs]
+
+    def run_eval(params, loader):
+        loss_sum = jnp.float32(0); correct = jnp.float32(0); count = jnp.float32(0)
+        for chunk in chunks(loader):
+            if k == 1:
+                chunk = squeeze0(chunk)
+            images, labels, weights = put(chunk)
             l, c, n = eval_step(params, images, labels, weights)
             loss_sum += l; correct += c; count += n
         count = jnp.maximum(count, 1.0)
@@ -228,14 +302,14 @@ def fit(
     for epoch in range(epochs):
         loss_sum = jnp.float32(0); correct = jnp.float32(0); count = jnp.float32(0)
         it = tqdm(
-            train_loader, desc=f"Epoch {epoch + 1}/{epochs}", unit="batch",
+            chunks(train_loader), desc=f"Epoch {epoch + 1}/{epochs}",
+            unit="batch" if k == 1 else f"x{k}batch",
             disable=not verbose,
         )
-        for i, (images, labels) in enumerate(it):
-            images = _as_nhwc(_to_numpy(images))
-            labels = _to_numpy(labels)
-            images, labels, weights = _pad_batch(images, labels, batch_size)
-            images, labels, weights = put([images, labels, weights])
+        for i, chunk in enumerate(it):
+            if k == 1:
+                chunk = squeeze0(chunk)
+            images, labels, weights = put(chunk)
             state, l, c, n = train_step(state, images, labels, weights, step_rng)
             loss_sum += l; correct += c; count += n
             if verbose and i % log_every == log_every - 1:
