@@ -175,3 +175,18 @@ def test_detr_train_step_reduces_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))
+
+
+def test_detr_vit_backbone():
+    """BASELINE config 4: ViT-backbone DETR forward."""
+    model = Detr(num_classes=5, num_queries=8, hidden_dim=32, nheads=4,
+                 num_encoder_layers=1, num_decoder_layers=1,
+                 dim_feedforward=64, dropout=0.0,
+                 backbone_arch="vit")
+    # default-size ViT backbone on a small image keeps this affordable
+    x = jnp.zeros((1, 64, 64, 3))
+    mask = jnp.zeros((1, 64, 64), bool)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, mask)
+    out = model.apply(v, x, mask)
+    assert out["pred_logits"].shape == (1, 8, 6)
+    assert out["pred_boxes"].shape == (1, 8, 4)

@@ -130,12 +130,56 @@ class ResNet(nn.Module):
         return {"0": outs["3"]}
 
 
+class ViTBackbone(nn.Module):
+    """ViT feature extractor for detection (BASELINE.json config 4: 'ViT
+    object detection' — the detection head reuses the same attention
+    kernels). Patch embed + encoder blocks, no CLS token; returns the final
+    token grid as a single feature level {'0': (B, H/p, W/p, D)}."""
+
+    hidden_dim: int = 768
+    patch_size: int = 16
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images) -> Dict[str, jax.Array]:
+        from vision_transformers_tpu.core.initializers import normal_init
+        from vision_transformers_tpu.models.image_classification.vanilla_vit import (
+            EncoderBlock,
+        )
+        from vision_transformers_tpu.ops.patch_embed import PatchEmbed
+        from vision_transformers_tpu.ops.posenc import sincos_pos_embed_2d
+
+        b, h, w, _ = images.shape
+        p = self.patch_size
+        if h % p or w % p:
+            images = jnp.pad(
+                images, ((0, 0), (0, (-h) % p), (0, (-w) % p), (0, 0)))
+        tokens, (gh, gw) = PatchEmbed(
+            self.hidden_dim, p, dtype=self.dtype, name="patch_embed")(images)
+        pos = jnp.asarray(sincos_pos_embed_2d(self.hidden_dim, gh, gw))
+        tokens = tokens + pos[None].astype(tokens.dtype)
+        for i in range(self.num_layers):
+            tokens = EncoderBlock(
+                self.num_heads, self.hidden_dim, self.mlp_dim,
+                dtype=self.dtype, name=f"block{i}",
+            )(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        return {"0": tokens.reshape(b, gh, gw, self.hidden_dim)}
+
+
 def build_backbone(trainable_backbone: bool = True, *,
+                   arch: str = "resnet50",
                    norm: str = "frozen_bn",
                    return_interm_layers: bool = True,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, **vit_kwargs):
     """Reference-surface builder (detr.py:66-91): returns (model,
-    num_channels=2048)."""
+    num_channels). ``arch``: 'resnet50' (reference) or 'vit'."""
+    if arch == "vit":
+        model = ViTBackbone(dtype=dtype, **vit_kwargs)
+        return model, model.hidden_dim
     model = ResNet(norm=norm, return_interm_layers=return_interm_layers,
                    dtype=dtype)
     return model, 2048

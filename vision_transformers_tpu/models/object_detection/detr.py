@@ -154,12 +154,14 @@ class Detr(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     aux_loss: bool = False
+    backbone_arch: str = "resnet50"  # 'resnet50' (reference) | 'vit'
     backbone_norm: str = "frozen_bn"
     position_embedding: str = "sine"  # 'sine' | 'learned'
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         backbone, num_channels = build_backbone(
+            arch=self.backbone_arch,
             norm=self.backbone_norm, return_interm_layers=True,
             dtype=self.dtype)
         if self.position_embedding == "learned":
