@@ -190,3 +190,59 @@ def test_detr_vit_backbone():
     out = model.apply(v, x, mask)
     assert out["pred_logits"].shape == (1, 8, 6)
     assert out["pred_boxes"].shape == (1, 8, 4)
+
+
+def test_auction_matches_scipy_on_random_costs():
+    """The on-device auction must produce valid matchings with near-scipy
+    total cost (exact on most instances)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from vision_transformers_tpu.models.object_detection.matcher import (
+        auction_assign,
+    )
+
+    rng = np.random.RandomState(0)
+    worst_gap = 0.0
+    for trial in range(20):
+        q, t = 20, rng.randint(1, 12)
+        cost = rng.randn(q, t).astype(np.float32) * rng.uniform(0.5, 5)
+        valid = np.ones(t, bool)
+        out = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(valid)))
+        # valid matching: distinct queries for all targets
+        assert len(set(out.tolist())) == t, out
+        assert (out >= 0).all() and (out < q).all()
+        ours = cost[out, np.arange(t)].sum()
+        rows, cols = linear_sum_assignment(cost.T)  # rows=targets
+        best = cost[cols, rows].sum()
+        worst_gap = max(worst_gap, float(ours - best))
+    # near-optimal: within 1% of the cost spread in the worst trial
+    assert worst_gap < 0.05, worst_gap
+
+
+def test_auction_respects_validity_mask():
+    from vision_transformers_tpu.models.object_detection.matcher import (
+        auction_assign,
+    )
+
+    cost = jnp.asarray(np.random.RandomState(1).randn(8, 4), jnp.float32)
+    valid = jnp.asarray([True, False, True, False])
+    out = np.asarray(auction_assign(cost, valid))
+    assert out[1] == -1 and out[3] == -1
+    assert out[0] != out[2] and out[0] >= 0 and out[2] >= 0
+
+
+def test_matcher_auction_backend_matches_scipy_backend():
+    rng = np.random.RandomState(2)
+    b, q, t, c = 2, 10, 4, 5
+    logits = jnp.asarray(rng.randn(b, q, c + 1), jnp.float32)
+    pred_boxes = jax.nn.sigmoid(jnp.asarray(rng.randn(b, q, 4), jnp.float32))
+    labels = jnp.asarray(rng.randint(0, c, (b, t)), jnp.int32)
+    boxes = jax.nn.sigmoid(jnp.asarray(rng.randn(b, t, 4), jnp.float32)) * 0.4
+    boxes = boxes.at[..., :2].add(0.3)
+    valid = jnp.asarray([[True] * t, [True, True, False, False]])
+    out = {"pred_logits": logits, "pred_boxes": pred_boxes}
+
+    a = HungarianMatcher(method="auction")(out, labels, boxes, valid)
+    s = HungarianMatcher(method="scipy")(out, labels, boxes, valid)
+    # both valid matchings; on these well-separated random costs they agree
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(s))
