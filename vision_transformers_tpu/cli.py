@@ -104,6 +104,26 @@ def run_reference_main(model_name: str, epochs: int = 100,
     )
 
 
+def run_detection_main(coco_path: str, epochs: int = 300,
+                       batch_size: int = 8, num_classes: int = 91,
+                       masks: bool = False, **kwargs):
+    """DETR-on-COCO entry point (the reference never got one — its
+    detection stack is unfinished)."""
+    from vision_transformers_tpu.models.object_detection import Detr
+    from vision_transformers_tpu.training.detection import (
+        DetectionLoader, fit_detection,
+    )
+    from vision_transformers_tpu.utils.coco.build_coco import build
+
+    train_ds = build("train", coco_path, return_masks=masks)
+    val_ds = build("val", coco_path, return_masks=masks)
+    train = DetectionLoader(train_ds, batch_size, shuffle=True)
+    val = DetectionLoader(val_ds, batch_size)
+    model = Detr(num_classes=num_classes, aux_loss=True)
+    return fit_detection(model, train, epochs, val_loader=val,
+                         num_classes=num_classes, **kwargs)
+
+
 def main(argv: Optional[list] = None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("model", help="args-registry key, e.g. vit_tiny_cifar100")
