@@ -169,3 +169,28 @@ def test_hpo_objective_end_to_end():
     study = run_study(obj, n_trials=2, seed=1)
     assert len(study.trials) == 2
     assert any(v is not None for v in study.values)
+
+
+def test_shard_for_process_single_host_identity():
+    x = np.arange(10)[:, None]
+    y = np.arange(10)
+    sx, sy = ld.shard_for_process(x, y)
+    assert len(sy) == 10  # single process: identity
+
+
+def test_make_optimizer_accumulation():
+    import optax
+    from vision_transformers_tpu.training.optimizers import make_optimizer
+
+    tx = make_optimizer("adam", 1e-2, accumulate_steps=2)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    # first micro-step: no update applied yet
+    up1, state = tx.update(g, state, params)
+    p1 = optax.apply_updates(params, up1)
+    np.testing.assert_allclose(np.asarray(p1["w"]), 1.0)
+    # second micro-step: accumulated update applies
+    up2, state = tx.update(g, state, p1)
+    p2 = optax.apply_updates(p1, up2)
+    assert not np.allclose(np.asarray(p2["w"]), 1.0)

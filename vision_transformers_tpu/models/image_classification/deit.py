@@ -18,7 +18,6 @@ images→logits — replacing the unavailable pretrained regnety
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple, Union
 
 import flax.linen as nn
@@ -138,8 +137,6 @@ class DeiT(nn.Module, TrainableModel):
         """Reference-parity distillation loop returning the same metrics
         dict (deit.py:133-137). ``teacher``: (model, variables) or callable
         images→logits; must be supplied (no pretrained zoo on TPU)."""
-        import optax
-
         from vision_transformers_tpu.training import trainer as T
 
         if teacher is None:

@@ -19,7 +19,6 @@ Constructor matches the reference (t2t_vit.py:171-177) including
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import flax.linen as nn

@@ -25,7 +25,6 @@ GSA reuses the PVT SpatialReductionAttention.
 
 from __future__ import annotations
 
-from dataclasses import field
 from typing import List, Optional
 
 import flax.linen as nn

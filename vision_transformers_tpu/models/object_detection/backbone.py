@@ -145,7 +145,6 @@ class ViTBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, images) -> Dict[str, jax.Array]:
-        from vision_transformers_tpu.core.initializers import normal_init
         from vision_transformers_tpu.models.image_classification.vanilla_vit import (
             EncoderBlock,
         )

@@ -25,10 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from vision_transformers_tpu.core.initializers import xavier_uniform_init, zeros_init
-from vision_transformers_tpu.models.object_detection.backbone import (
-    ResNet,
-    build_backbone,
-)
+from vision_transformers_tpu.models.object_detection.backbone import build_backbone
 from vision_transformers_tpu.models.object_detection.transformer import Transformer
 from vision_transformers_tpu.utils.coco.util.box_ops import box_cxcywh_to_xyxy
 

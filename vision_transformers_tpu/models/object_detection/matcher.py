@@ -22,7 +22,6 @@ every shape stays static.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, List, Sequence, Tuple
 
 import jax

@@ -22,6 +22,7 @@ def make_optimizer(
     momentum: float = 0.9,
     grad_clip_norm: Optional[float] = None,
     schedule=None,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     learning_rate = schedule if schedule is not None else lr
     name = name.lower()
@@ -41,6 +42,9 @@ def make_optimizer(
         raise ValueError(f"Unknown optimizer: {name}")
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    if accumulate_steps > 1:
+        # gradient accumulation: apply every N steps with the mean gradient
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx
 
 

@@ -22,8 +22,6 @@ TPU-first deltas (SURVEY.md §7 "what idiomatic TPU design deletes"):
 
 from __future__ import annotations
 
-import time
-from functools import partial
 from typing import Any, Callable, Iterable, Optional, Tuple
 
 import jax

@@ -13,7 +13,6 @@ import os
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 
 def _checkpointer():

@@ -308,10 +308,29 @@ class ImageFolderLoader:
             yield item
 
 
+def shard_for_process(images, labels, seed: int = 0):
+    """Deterministic per-host shard of a dataset for multi-host DP (the
+    TPU-native replacement for DistributedSampler, SURVEY.md §2.7): each
+    process keeps every world_size-th example of a fixed permutation."""
+    import jax
+
+    world = jax.process_count()
+    if world == 1:
+        return images, labels
+    rank = jax.process_index()
+    perm = np.random.RandomState(seed).permutation(len(labels))
+    mine = perm[rank::world]
+    return images[mine], labels[mine]
+
+
 def get_train_test_loaders(dataset_name: str = "cifar100", batch_size: int = 128,
                            num_workers: int = 8, val_split: Optional[float] = None,
-                           root_dir: str = "../../data", seed: int = 0):
-    """Reference-surface loader factory (load_data.py:11-44)."""
+                           root_dir: str = "../../data", seed: int = 0,
+                           shard_by_process: bool = False):
+    """Reference-surface loader factory (load_data.py:11-44).
+
+    ``shard_by_process=True`` gives each host a disjoint shard of the train
+    split (multi-host data parallelism)."""
     name = dataset_name.lower()
     if name not in _STATS:
         raise ValueError(f"Dataset {dataset_name} is not supported.")
@@ -320,6 +339,8 @@ def get_train_test_loaders(dataset_name: str = "cifar100", batch_size: int = 128
     if name in ("cifar100", "cifar10"):
         train_x, train_y = _load_cifar(root_dir, name, train=True)
         test_x, test_y = _load_cifar(root_dir, name, train=False)
+        if shard_by_process:
+            train_x, train_y = shard_for_process(train_x, train_y, seed)
 
         if val_split:
             n = len(train_y)
