@@ -90,3 +90,15 @@ def test_bias_broadcast_gradient_reduces():
     assert g_flash.shape == bias.shape
     rel = jnp.max(jnp.abs(g_flash - g_ref)) / (jnp.max(jnp.abs(g_ref)) + 1e-9)
     assert rel < 1e-4
+
+
+def test_dispatcher_routes_oversize_sequences_to_xla():
+    """COCO-scale S must not hit the VMEM-bounded kernel."""
+    from vision_transformers_tpu.ops import attention as A
+
+    b, h, s, d = 1, 1, 2048, 8
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), b, h, s, s, d)
+    # force "pallas wanted" semantics but rely on the size guard
+    out = A.dot_product_attention(q, k, v, backend="pallas")
+    ref = mha_reference(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 1e-4

@@ -61,6 +61,12 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# The kernel holds one (Sq, Sk) fp32 score block in VMEM per (batch·head);
+# beyond this products (e.g. DETR on 800px COCO: S≈4200) route through the
+# XLA path, which tiles freely.
+_PALLAS_MAX_SCORE_ELEMS = 1_500_000
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -81,7 +87,8 @@ def dot_product_attention(
     kernel handles with an iota compare.
     """
     wants_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
-    if wants_pallas and mask is None and dropout_rate == 0.0:
+    fits_vmem = q.shape[2] * k.shape[2] <= _PALLAS_MAX_SCORE_ELEMS
+    if wants_pallas and fits_vmem and mask is None and dropout_rate == 0.0:
         return flash_attention(q, k, v, bias, scale=scale, kv_valid=kv_valid)
     if bias is not None and bias.shape[0] not in (1, q.shape[0]):
         # Windowed attention: bias leading dim is num_windows, batch is
