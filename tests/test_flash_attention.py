@@ -92,13 +92,50 @@ def test_bias_broadcast_gradient_reduces():
     assert rel < 1e-4
 
 
-def test_dispatcher_routes_oversize_sequences_to_xla():
-    """COCO-scale S must not hit the VMEM-bounded kernel."""
+def test_oversize_sequences_use_streaming_kernel():
+    """COCO-scale S routes to the online-softmax streaming path."""
     from vision_transformers_tpu.ops import attention as A
 
     b, h, s, d = 1, 1, 2048, 8
     q, k, v = _rand_qkv(jax.random.PRNGKey(0), b, h, s, s, d)
-    # force "pallas wanted" semantics but rely on the size guard
     out = A.dot_product_attention(q, k, v, backend="pallas")
     ref = mha_reference(q, k, v)
     assert jnp.max(jnp.abs(out - ref)) < 1e-4
+
+
+def test_streaming_kernel_forced_small_shape():
+    """Force the streaming path on a small case; fwd + grads vs oracle."""
+    from vision_transformers_tpu.ops import flash_attention as FA
+
+    orig = FA._SMALL_S_LIMIT
+    FA._SMALL_S_LIMIT = 1  # everything goes through the large path
+    try:
+        b, h, s, d = 2, 2, 200, 16
+        q, k, v = _rand_qkv(jax.random.PRNGKey(1), b, h, s, s, d)
+        out = FA.flash_attention(q, k, v)
+        ref = mha_reference(q, k, v)
+        assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+        gp = jax.grad(lambda q: jnp.sum(FA.flash_attention(q, k, v) ** 2))(q)
+        gr = jax.grad(lambda q: jnp.sum(mha_reference(q, k, v) ** 2))(q)
+        rel = jnp.max(jnp.abs(gp - gr)) / (jnp.max(jnp.abs(gr)) + 1e-9)
+        assert rel < 1e-4
+    finally:
+        FA._SMALL_S_LIMIT = orig
+
+
+def test_streaming_kernel_kv_valid_and_cross():
+    from vision_transformers_tpu.ops import flash_attention as FA
+
+    orig = FA._SMALL_S_LIMIT
+    FA._SMALL_S_LIMIT = 1
+    try:
+        b, h, sq, sk, d = 1, 2, 100, 300, 8
+        q, k, v = _rand_qkv(jax.random.PRNGKey(2), b, h, sq, sk, d)
+        k = k.at[:, :, 250:, :].set(1e6)
+        v = v.at[:, :, 250:, :].set(1e6)
+        out = FA.flash_attention(q, k, v, kv_valid=250)
+        ref = mha_reference(q, k[:, :, :250], v[:, :, :250])
+        assert jnp.max(jnp.abs(out - ref)) < 1e-5
+    finally:
+        FA._SMALL_S_LIMIT = orig

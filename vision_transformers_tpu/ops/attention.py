@@ -61,9 +61,9 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# The kernel holds one (Sq, Sk) fp32 score block in VMEM per (batch·head);
-# beyond this products (e.g. DETR on 800px COCO: S≈4200) route through the
-# XLA path, which tiles freely.
+# Above this score size the kernel switches to the streaming online-softmax
+# path, which does not support an additive bias — biased large-S attention
+# (rare: a windowed model would need a giant window) routes through XLA.
 _PALLAS_MAX_SCORE_ELEMS = 1_500_000
 
 
@@ -87,8 +87,9 @@ def dot_product_attention(
     kernel handles with an iota compare.
     """
     wants_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
-    fits_vmem = q.shape[2] * k.shape[2] <= _PALLAS_MAX_SCORE_ELEMS
-    if wants_pallas and fits_vmem and mask is None and dropout_rate == 0.0:
+    small = q.shape[2] * k.shape[2] <= _PALLAS_MAX_SCORE_ELEMS
+    kernel_ok = small or bias is None
+    if wants_pallas and kernel_ok and mask is None and dropout_rate == 0.0:
         return flash_attention(q, k, v, bias, scale=scale, kv_valid=kv_valid)
     if bias is not None and bias.shape[0] not in (1, q.shape[0]):
         # Windowed attention: bias leading dim is num_windows, batch is

@@ -113,11 +113,19 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, *, scale, kv_valid,
     o_ref[...] = o.astype(o_ref.dtype)
 
 
+# score-elements threshold between the single-pass (K/V whole in VMEM) and
+# the streaming online-softmax kernels
+_SMALL_S_LIMIT = 1_500_000
+
+
 def _flash_fwd(q, k, v, bias, scale: float, kv_valid: int, block_q: int):
     """q: (G, Sq, D); k, v: (G, Sk, D); bias: None or (bias_g, Sq, Sk)
     with bias_g in {1, h, G} (heads fastest-varying in G)."""
     g, s_q, d = q.shape
     s_k = k.shape[1]
+    if s_q * s_k > _SMALL_S_LIMIT:
+        assert bias is None, "bias unsupported on the large-S streaming path"
+        return _flash_fwd_large(q, k, v, scale, kv_valid)
     bias_g = bias.shape[0] if bias is not None else None
 
     g_blk = _pick_group_block(g, s_q, s_k, d, q.dtype.itemsize, bias_g)
@@ -186,6 +194,114 @@ def _flash_fwd(q, k, v, bias, scale: float, kv_valid: int, block_q: int):
         ),
     )(*args)
     return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Large-S streaming forward: true online-softmax flash for sequences whose
+# S×S scores exceed VMEM (DETR encoder on 800-1333px COCO: S ≈ 2500-4200).
+# Grid (G, nq, nk) with running (max, sum, acc) scratch carried across the
+# innermost k dimension; bias unsupported on this path (large-S users need
+# runtime padding masks, which route through XLA anyway).
+
+_LARGE_BLOCK_Q = 512
+_LARGE_BLOCK_K = 512
+
+
+def _large_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref,
+                  acc_ref, m_ref, l_ref, *, scale, kv_valid, block_k):
+    kb = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    kt = kt_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (block_q, block_k)
+
+    col = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, dimension=1)
+    s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    correction = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_ref[...] * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * correction + jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = m_new
+    l_ref[...] = l_new
+
+    @pl.when(kb == nk - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[...] + jnp.log(denom)
+
+
+def _flash_fwd_large(q, k, v, scale: float, kv_valid: int):
+    g, s_q, d = q.shape
+    s_k = k.shape[1]
+    bq = min(_LARGE_BLOCK_Q, _round_up(s_q, 128))
+    bk = min(_LARGE_BLOCK_K, _round_up(s_k, 128))
+    s_qp, s_kp = _round_up(s_q, bq), _round_up(s_k, bk)
+    q = jnp.pad(q, ((0, 0), (0, s_qp - s_q), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, s_kp - s_k), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, s_kp - s_k), (0, 0)))
+    kt = k.swapaxes(1, 2)
+
+    interpret = jax.default_backend() != "tpu"
+    out, lse = pl.pallas_call(
+        functools.partial(_large_kernel, scale=scale,
+                          kv_valid=min(kv_valid, s_k), block_k=bk),
+        grid=(g, s_qp // bq, s_kp // bk),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, bk), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, s_qp, d), q.dtype),
+            jax.ShapeDtypeStruct((g, s_qp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g * s_qp * s_kp * d,
+            bytes_accessed=(2 * g * s_qp * d + 2 * g * s_kp * d)
+            * q.dtype.itemsize,
+            transcendentals=g * s_qp * s_kp,
+        ),
+    )(q, kt, v)
+    return out[:, :s_q], lse[:, :s_q]
 
 
 # ---------------------------------------------------------------------------
