@@ -139,3 +139,39 @@ def test_streaming_kernel_kv_valid_and_cross():
         assert jnp.max(jnp.abs(out - ref)) < 1e-5
     finally:
         FA._SMALL_S_LIMIT = orig
+
+
+def test_streaming_kernel_runtime_key_padding_mask():
+    """Per-image key-padding masks (DETR padded batches) through the
+    streaming path, fwd + grads vs masked oracle."""
+    from vision_transformers_tpu.ops import flash_attention as FA
+
+    b, h, s, d = 2, 2, 96, 8
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), b, h, s, s, d)
+    valid_len = jnp.asarray([60, 96])
+    kv_mask = jnp.arange(s)[None, :] < valid_len[:, None]  # (B, S)
+
+    out = FA.flash_attention(q, k, v, kv_mask=kv_mask)
+    ref = mha_reference(q, k, v, mask=kv_mask[:, None, None, :])
+    # padded-query rows differ (their keys are masked in both; fine), but
+    # compare everything: mask only hides keys, queries remain valid
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+    gp = jax.grad(lambda q: jnp.sum(FA.flash_attention(
+        q, k, v, kv_mask=kv_mask) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(mha_reference(
+        q, k, v, mask=kv_mask[:, None, None, :]) ** 2))(q)
+    rel = jnp.max(jnp.abs(gp - gr)) / (jnp.max(jnp.abs(gr)) + 1e-9)
+    assert rel < 1e-4
+
+
+def test_dispatcher_key_padding_to_kernel():
+    from vision_transformers_tpu.ops import attention as A
+
+    b, h, s, d = 2, 2, 64, 8
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), b, h, s, s, d)
+    kv_mask = (jnp.arange(s)[None, :] < 40) | jnp.zeros((b, 1), bool)
+    out = A.dot_product_attention(
+        q, k, v, mask=kv_mask[:, None, None, :], backend="pallas")
+    ref = mha_reference(q, k, v, mask=kv_mask[:, None, None, :])
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5

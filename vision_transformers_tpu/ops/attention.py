@@ -91,6 +91,17 @@ def dot_product_attention(
     kernel_ok = small or bias is None
     if wants_pallas and kernel_ok and mask is None and dropout_rate == 0.0:
         return flash_attention(q, k, v, bias, scale=scale, kv_valid=kv_valid)
+    # key-padding masks (B, 1, 1, Sk) ride the streaming kernel (bias-free)
+    is_key_padding = (
+        mask is not None and mask.ndim == 4
+        and mask.shape[1] == 1 and mask.shape[2] == 1
+        and mask.shape[0] == q.shape[0]
+    )
+    if (wants_pallas and bias is None and is_key_padding
+            and dropout_rate == 0.0):
+        return flash_attention(
+            q, k, v, kv_mask=mask[:, 0, 0, :],
+            scale=scale, kv_valid=kv_valid)
     if bias is not None and bias.shape[0] not in (1, q.shape[0]):
         # Windowed attention: bias leading dim is num_windows, batch is
         # B·num_windows — tile for the jnp path (the Pallas kernel instead

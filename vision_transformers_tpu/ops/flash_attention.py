@@ -118,14 +118,18 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, *, scale, kv_valid,
 _SMALL_S_LIMIT = 1_500_000
 
 
-def _flash_fwd(q, k, v, bias, scale: float, kv_valid: int, block_q: int):
+def _flash_fwd(q, k, v, bias, kv_mask, scale: float, kv_valid: int,
+               block_q: int):
     """q: (G, Sq, D); k, v: (G, Sk, D); bias: None or (bias_g, Sq, Sk)
-    with bias_g in {1, h, G} (heads fastest-varying in G)."""
+    with bias_g in {1, h, G} (heads fastest-varying in G); kv_mask: None or
+    (n_groups, Sk) keep-mask (streaming path only)."""
     g, s_q, d = q.shape
     s_k = k.shape[1]
-    if s_q * s_k > _SMALL_S_LIMIT:
+    if s_q * s_k > _SMALL_S_LIMIT or kv_mask is not None:
         assert bias is None, "bias unsupported on the large-S streaming path"
-        return _flash_fwd_large(q, k, v, scale, kv_valid)
+        heads = g // (kv_mask.shape[0] if kv_mask is not None else g)
+        return _flash_fwd_large(q, k, v, scale, kv_valid,
+                                kv_mask=kv_mask, heads=heads)
     bias_g = bias.shape[0] if bias is not None else None
 
     g_blk = _pick_group_block(g, s_q, s_k, d, q.dtype.itemsize, bias_g)
@@ -208,7 +212,8 @@ _LARGE_BLOCK_K = 512
 
 
 def _large_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref,
-                  acc_ref, m_ref, l_ref, *, scale, kv_valid, block_k):
+                  acc_ref, m_ref, l_ref, *, scale, kv_valid, block_k,
+                  mask_ref=None):
     kb = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -230,6 +235,8 @@ def _large_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref,
     col = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, dimension=1)
     s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+    if mask_ref is not None:  # runtime key-padding mask, True = attend
+        s = jnp.where(mask_ref[0] != 0, s, DEFAULT_MASK_VALUE)
 
     m_prev = m_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -251,7 +258,10 @@ def _large_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref,
         lse_ref[0] = m_ref[...] + jnp.log(denom)
 
 
-def _flash_fwd_large(q, k, v, scale: float, kv_valid: int):
+def _flash_fwd_large(q, k, v, scale: float, kv_valid: int,
+                     kv_mask=None, heads: int = 1):
+    """kv_mask: None or (n_groups, Sk) int8 keep-mask with n_groups
+    dividing G (per-image padding masks, heads fastest-varying in G)."""
     g, s_q, d = q.shape
     s_k = k.shape[1]
     bq = min(_LARGE_BLOCK_Q, _round_up(s_q, 128))
@@ -262,20 +272,40 @@ def _flash_fwd_large(q, k, v, scale: float, kv_valid: int):
     v = jnp.pad(v, ((0, 0), (0, s_kp - s_k), (0, 0)))
     kt = k.swapaxes(1, 2)
 
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, bk), lambda b, i, j: (b, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, kt, v]
+    if kv_mask is not None:
+        # 3D with a unit middle dim: TPU blocks need last-two-dims tiling
+        kv_mask = jnp.pad(
+            kv_mask.astype(jnp.int8), ((0, 0), (0, s_kp - s_k)))[:, None, :]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bk), lambda b, i, j: (b // heads, 0, j),
+            memory_space=pltpu.VMEM))
+        args.append(kv_mask)
+
+    def kernel(*refs):
+        if kv_mask is not None:
+            q_ref, kt_ref, v_ref, mask_ref, o_ref, lse_ref, acc, m, l = refs
+        else:
+            q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m, l = refs
+            mask_ref = None
+        _large_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, acc, m, l,
+                      scale=scale, kv_valid=min(kv_valid, s_k), block_k=bk,
+                      mask_ref=mask_ref)
+
     interpret = jax.default_backend() != "tpu"
     out, lse = pl.pallas_call(
-        functools.partial(_large_kernel, scale=scale,
-                          kv_valid=min(kv_valid, s_k), block_k=bk),
+        kernel,
         grid=(g, s_qp // bq, s_kp // bk),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, bk), lambda b, i, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -300,7 +330,7 @@ def _flash_fwd_large(q, k, v, scale: float, kv_valid: int):
             * q.dtype.itemsize,
             transcendentals=g * s_qp * s_kp,
         ),
-    )(q, kt, v)
+    )(*args)
     return out[:, :s_q], lse[:, :s_q]
 
 
@@ -401,15 +431,15 @@ def _flash_bwd_pallas(q, k, v, out, lse, do, scale, kv_valid):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention(q, k, v, bias, scale, kv_valid, block_q):
-    out, _ = _flash_fwd(q, k, v, bias, scale, kv_valid, block_q)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_attention(q, k, v, bias, kv_mask, scale, kv_valid, block_q):
+    out, _ = _flash_fwd(q, k, v, bias, kv_mask, scale, kv_valid, block_q)
     return out
 
 
-def _flash_attention_fwd(q, k, v, bias, scale, kv_valid, block_q):
-    out, lse = _flash_fwd(q, k, v, bias, scale, kv_valid, block_q)
-    return out, (q, k, v, bias, out, lse)
+def _flash_attention_fwd(q, k, v, bias, kv_mask, scale, kv_valid, block_q):
+    out, lse = _flash_fwd(q, k, v, bias, kv_mask, scale, kv_valid, block_q)
+    return out, (q, k, v, bias, kv_mask, out, lse)
 
 
 # Measured on v5e (ViT-B/16 shapes): the Pallas bwd runs ~14 ms/layer vs
@@ -420,10 +450,10 @@ USE_PALLAS_BWD = False
 
 
 def _flash_attention_bwd(scale, kv_valid, block_q, res, do):
-    q, k, v, bias, out, lse = res
-    if bias is None and USE_PALLAS_BWD:
+    q, k, v, bias, kv_mask, out, lse = res
+    if bias is None and kv_mask is None and USE_PALLAS_BWD:
         dq, dk, dv = _flash_bwd_pallas(q, k, v, out, lse, do, scale, kv_valid)
-        return dq, dk, dv, None
+        return dq, dk, dv, None, None
     # jnp path (always used for the biased case — dbias needs the full ds).
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
@@ -441,6 +471,10 @@ def _flash_attention_bwd(scale, kv_valid, block_q, res, do):
     if kv_valid < s_k:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
         s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+    if kv_mask is not None:  # (n_groups, Sk) keep-mask, broadcast over heads
+        reps = s.shape[0] // kv_mask.shape[0]
+        mk = jnp.repeat(kv_mask.astype(bool), reps, axis=0)[:, None, :]
+        s = jnp.where(mk, s, DEFAULT_MASK_VALUE)
     p = jnp.exp(s - lse)  # lse: (G, Sq, 1), broadcasts over keys
 
     dv = jnp.einsum("gqk,gqd->gkd", p, dof)
@@ -458,7 +492,8 @@ def _flash_attention_bwd(scale, kv_valid, block_q, res, do):
         else:  # bias was broadcast over the batch: reduce the broadcast dim
             dbias = jnp.sum(ds.reshape(-1, bias_g, *ds.shape[1:]), axis=0)
         dbias = dbias.astype(bias.dtype)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias, None)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -470,6 +505,7 @@ def flash_attention(
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     *,
+    kv_mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     kv_valid: Optional[int] = None,
     block_q: int = 256,
@@ -493,6 +529,9 @@ def flash_attention(
     v = v.reshape(g, s_k, d)
     if bias is not None:
         bias = bias.reshape(bias.shape[0] * h, s_q, s_k)
+    # kv_mask: (B, Sk) bool keep-mask (per-image key padding), broadcast
+    # over heads; forces the streaming path.
 
-    out = _flash_attention(q, k, v, bias, scale, min(kv_valid, s_k), block_q)
+    out = _flash_attention(q, k, v, bias, kv_mask, scale,
+                           min(kv_valid, s_k), block_q)
     return out.reshape(b, h, s_q, d)
