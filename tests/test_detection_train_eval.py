@@ -113,3 +113,30 @@ def test_detection_loader_and_fit(tmp_path):
     )
     assert len(hist["loss"]) == 1 and np.isfinite(hist["loss"][0])
     assert "mAP" in hist["metrics"][0]
+
+
+def test_fit_detection_with_default_dropout(tmp_path):
+    """Default DETR has dropout=0.1: the train step must supply a dropout
+    rng (regression: fit_detection crashed with InvalidRngError)."""
+    from tests.test_coco_utils import _write_tiny_coco
+    from vision_transformers_tpu.models.object_detection import Detr
+    from vision_transformers_tpu.training.detection import (
+        DetectionLoader, fit_detection,
+    )
+    from vision_transformers_tpu.utils.coco.build_coco import CocoDetection
+    from vision_transformers_tpu.utils.coco import transforms as T
+
+    img_dir, ann_file = _write_tiny_coco(tmp_path, n_images=2)
+    tr = T.Compose([
+        T.RandomResize([64]), T.ToTensor(),
+        T.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    ])
+    ds = CocoDetection(img_dir, ann_file, transforms=tr)
+    loader = DetectionLoader(ds, batch_size=2)
+    model = Detr(num_classes=5, num_queries=4, hidden_dim=32, nheads=4,
+                 num_encoder_layers=1, num_decoder_layers=1,
+                 dim_feedforward=32, dropout=0.1,  # dropout ACTIVE
+                 backbone_norm="group")
+    hist = fit_detection(model, loader, 1, num_classes=5, max_targets=4,
+                         verbose=False)
+    assert np.isfinite(hist["loss"][0])

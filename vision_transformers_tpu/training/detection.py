@@ -140,10 +140,13 @@ def fit_detection(
             tx=make_tx(variables["params"]))
 
     @jax.jit
-    def train_step(state, images, mask, labels, boxes, valid):
+    def train_step(state, images, mask, labels, boxes, valid, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
         def loss_fn(params):
             out = model.apply({"params": params}, images, mask,
-                              deterministic=False)
+                              deterministic=False,
+                              rngs={"dropout": dropout_rng})
             losses = criterion(out, labels, boxes, valid)
             return criterion.total_loss(losses), losses
 
@@ -170,7 +173,7 @@ def fit_detection(
                 targets, max_targets, num_classes)
             state, loss, losses = train_step(
                 state, jnp.asarray(nt.tensors), jnp.asarray(nt.mask),
-                labels, boxes, valid)
+                labels, boxes, valid, rng)
             loss = float(loss)
             epoch_losses.append(loss)
             if verbose:
