@@ -47,7 +47,7 @@ def run_reference_main(model_name: str, epochs: int = 100,
                        batch_size: int = 256, val_split: float = 0.2,
                        num_workers: int = 4, data_root: str = "./data",
                        lr: float = 1e-4, on_device: bool = False,
-                       **fit_kwargs):
+                       bf16: bool = False, **fit_kwargs):
     """The reference's per-model __main__ recipe (vanilla_vit.py:311-324):
     loaders → args → model → train_model. ``on_device=True`` (CIFAR only)
     uses the device-resident epoch path (training.device_data)."""
@@ -72,6 +72,10 @@ def run_reference_main(model_name: str, epochs: int = 100,
             # PVT/TNT/Twins use constructor defaults in the reference
             args = {"num_classes": _DATASET_CLASSES[dataset.lower()]}
     cls = _model_for(model_name)
+    if bf16:
+        import jax.numpy as jnp
+
+        args["dtype"] = jnp.bfloat16
     if args.pop("distilled_training", False):
         raise SystemExit(
             "distilled DeiT training needs an injected teacher — use "
@@ -141,10 +145,12 @@ def main(argv: Optional[list] = None):
     p.add_argument("--on-device", action="store_true",
                    help="device-resident dataset + on-device augmentation "
                         "(CIFAR; one dispatch per epoch)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (fp32 master weights)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="batches per device dispatch (host-loader path)")
     a = p.parse_args(argv)
-    extra = {}
+    extra = {"bf16": a.bf16}
     if a.on_device:
         extra["on_device"] = True
     else:
