@@ -108,3 +108,22 @@ def test_pure_dp_mesh_eval():
     step = jax.jit(eval_step_fn(model))
     loss_sum, correct, n = step(params, x, y, w)
     assert float(n) == 16.0
+
+
+def test_fit_with_dp_tp_mesh_end_to_end():
+    """Public fit() API over a 4x2 DP x TP mesh: params auto-TP-sharded,
+    training runs, metrics contract holds."""
+    from tests.synthetic_data import SyntheticLoader
+    from vision_transformers_tpu.training.trainer import fit
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    train = SyntheticLoader(32, 16, 16, 2, seed=9)
+    model = _tiny_vit()
+    hist = fit(model, train, train, epochs=2, mesh=mesh, lr=3e-3,
+               verbose=False)
+    assert len(hist["train_loss"]) == 2
+    assert hist["train_loss"][1] < hist["train_loss"][0]
+    # qkv kernels ended up sharded over 'model'
+    qkv = hist["final_state"].params[
+        "encoder"]["encoder_layer_0"]["self_attention"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")

@@ -228,19 +228,44 @@ def fit(
     images0 = _as_nhwc(images0)
     batch_size = images0.shape[0]
 
+    tp_active = (
+        mesh is not None and "model" in mesh.shape and mesh.shape["model"] > 1
+    )
     if state is None:
-        state = make_train_state(
-            model, rng, jnp.asarray(images0[:1]),
-            lr=lr, optimizer=optimizer, **opt_kwargs,
-        )
+        if tp_active:
+            # init → TP-shard params → build opt state FROM sharded params
+            # so Adam moments inherit the shardings (Megatron-style TP via
+            # parallel.mesh rules; DP over the 'data' axis as below).
+            from vision_transformers_tpu.parallel.mesh import shard_params
+            from vision_transformers_tpu.training.optimizers import (
+                make_optimizer,
+            )
+
+            init_rng, dropout_rng = jax.random.split(rng)
+            sample = jnp.asarray(images0[:1])
+            variables = model.init(
+                {"params": init_rng, "dropout": dropout_rng},
+                jnp.zeros_like(sample, dtype=jnp.float32)
+                if sample.dtype == jnp.uint8 else sample,
+            )
+            state = TrainState.create(
+                apply_fn=model.apply,
+                params=shard_params(variables["params"], mesh),
+                tx=make_optimizer(optimizer, lr, **opt_kwargs),
+            )
+        else:
+            state = make_train_state(
+                model, rng, jnp.asarray(images0[:1]),
+                lr=lr, optimizer=optimizer, **opt_kwargs,
+            )
 
     data_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        repl = NamedSharding(mesh, P())
         data_sharding = NamedSharding(mesh, P("data"))
-        state = jax.device_put(state, repl)
+        if not tp_active:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
 
     k = max(1, steps_per_call)
     if k == 1:
