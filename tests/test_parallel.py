@@ -127,3 +127,36 @@ def test_fit_with_dp_tp_mesh_end_to_end():
     qkv = hist["final_state"].params[
         "encoder"]["encoder_layer_0"]["self_attention"]["qkv"]["kernel"]
     assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_fit_mesh_with_steps_per_call():
+    """mesh + steps_per_call > 1: the (k, B, ...) chunk must shard the batch
+    axis over 'data', not the scan axis (ADVICE r1). k=3 with 4 data-way
+    would raise at device_put if k were the sharded axis."""
+    from tests.synthetic_data import SyntheticLoader
+    from vision_transformers_tpu.training.trainer import fit
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    train = SyntheticLoader(48, 16, 16, 2, seed=3)
+    model = _tiny_vit()
+    hist = fit(model, train, train, epochs=2, mesh=mesh, lr=3e-3,
+               steps_per_call=3, verbose=False)
+    assert len(hist["train_loss"]) == 2
+    assert hist["train_loss"][1] < hist["train_loss"][0]
+
+
+def test_fit_one_shot_generator_train_loader():
+    """A generator train loader: probed batch is replayed in epoch 1; a
+    second epoch raises instead of silently training on nothing."""
+    from tests.synthetic_data import SyntheticLoader
+    from vision_transformers_tpu.training.trainer import fit
+
+    base = SyntheticLoader(32, 16, 16, 2, seed=5)
+    model = _tiny_vit()
+    hist = fit(model, iter(base), base, epochs=1, lr=3e-3, verbose=False)
+    assert len(hist["train_loss"]) == 1
+
+    model2 = _tiny_vit()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="one-shot"):
+        fit(model2, iter(base), base, epochs=2, lr=3e-3, verbose=False)

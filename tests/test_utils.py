@@ -171,6 +171,28 @@ def test_hpo_objective_end_to_end():
     assert any(v is not None for v in study.values)
 
 
+def test_hpo_objective_threads_state_across_epochs():
+    """Each HPO 'epoch' must continue from the previous epoch's state, not
+    retrain epoch 1 from scratch (ADVICE r1)."""
+    from vision_transformers_tpu.models.image_classification import ViT
+    from vision_transformers_tpu.utils.optimization import objective
+
+    base = dict(image_size=16, patch_size=8, num_heads=2, hidden_dim=16,
+                num_classes=2)
+    seen_states = []
+
+    def fake_fit(model, train_loader, test_loader, epochs, val_loader=None,
+                 state=None, **kw):
+        seen_states.append(state)
+        tag = f"state{len(seen_states)}"
+        return {"val_accuracy": [0.5], "final_state": tag}
+
+    trial = Trial(_rng=np.random.RandomState(0))
+    objective(trial, model_cls=ViT, base_args=base, train_loader=None,
+              val_loader=None, num_epochs=3, fit_fn=fake_fit)
+    assert seen_states == [None, "state1", "state2"]
+
+
 def test_shard_for_process_single_host_identity():
     x = np.arange(10)[:, None]
     y = np.arange(10)

@@ -110,14 +110,19 @@ class ResNet(nn.Module):
         for stage, blocks in enumerate(self.stage_sizes):
             features = 64 * 2 ** stage
             stride = 1 if stage == 0 else 2
+            prev_dilation = dilation
             if stage > 0 and self.replace_stride_with_dilation[stage - 1]:
                 dilation *= stride
                 stride = 1
             for i in range(blocks):
+                # torchvision ResNet semantics: a dilated stage's FIRST
+                # block keeps the pre-doubling dilation; only subsequent
+                # blocks use the doubled one (checkpoint-parity matters for
+                # torch-ported DETR-R50 weights).
                 y = Bottleneck(
                     features,
                     strides=stride if i == 0 else 1,
-                    dilation=dilation,
+                    dilation=prev_dilation if i == 0 else dilation,
                     norm=self.norm,
                     downsample=i == 0,
                     dtype=self.dtype,

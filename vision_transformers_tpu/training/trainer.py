@@ -190,6 +190,28 @@ def _to_numpy(x):
     return np.asarray(x)
 
 
+class _OneShotLoader:
+    """Wraps a one-shot train iterator whose first batch was consumed by the
+    shape probe: epoch 1 replays the probed batch then drains the iterator;
+    any further epoch would silently see no data, so it raises instead."""
+
+    def __init__(self, first, rest):
+        self._first = first
+        self._rest = rest
+        self._used = False
+
+    def __iter__(self):
+        if self._used:
+            raise RuntimeError(
+                "train_loader is a one-shot iterator (generator) already "
+                "exhausted by epoch 1; pass a re-iterable loader to train "
+                "for more than one epoch."
+            )
+        self._used = True
+        yield self._first
+        yield from self._rest
+
+
 def fit(
     model,
     train_loader: Iterable,
@@ -223,7 +245,13 @@ def fit(
     rng = jax.random.PRNGKey(seed)
     normalize = getattr(train_loader, "normalize", None)
 
-    first = next(iter(train_loader))
+    probe_it = iter(train_loader)
+    first = next(probe_it)
+    if probe_it is iter(train_loader):
+        # One-shot iterator (a generator): iterating again won't replay the
+        # probed batch. Restore it for epoch 1 and fail loudly if a second
+        # epoch (which would silently see no data) is attempted.
+        train_loader = _OneShotLoader(first, probe_it)
     images0, labels0 = _to_numpy(first[0]), _to_numpy(first[1])
     images0 = _as_nhwc(images0)
     batch_size = images0.shape[0]
@@ -259,15 +287,17 @@ def fit(
                 lr=lr, optimizer=optimizer, **opt_kwargs,
             )
 
+    k = max(1, steps_per_call)
     data_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        data_sharding = NamedSharding(mesh, P("data"))
+        # Chunked batches are stacked to (k, B, ...): shard the BATCH axis
+        # over 'data', never the scan/chunk axis k.
+        spec = P("data") if k == 1 else P(None, "data")
+        data_sharding = NamedSharding(mesh, spec)
         if not tp_active:
             state = jax.device_put(state, NamedSharding(mesh, P()))
-
-    k = max(1, steps_per_call)
     if k == 1:
         train_step = jax.jit(
             train_step_fn(model, normalize, loss_fn), donate_argnums=0)

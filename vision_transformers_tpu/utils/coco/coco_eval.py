@@ -7,7 +7,10 @@ COCOeval bbox protocol in numpy: greedy score-ordered matching per
 precision, AP / AP50 / AP75 / AP_small/medium/large and AR@{1,10,100}.
 
 Inputs are plain dicts (no pycocotools types):
-- ground truth: {image_id: {"boxes": (N,4) xyxy abs, "labels": (N,)}}
+- ground truth: {image_id: {"boxes": (N,4) xyxy abs, "labels": (N,),
+  optional "iscrowd": (N,)}} — crowd GTs are ignored (never TP/FP), may
+  absorb multiple detections, and use intersection-over-detection-area IoU
+  (pycocotools crowd semantics).
 - predictions: {image_id: {"boxes": (M,4) xyxy abs, "labels": (M,),
   "scores": (M,)}}
 """
@@ -29,7 +32,8 @@ AREA_RANGES = {
 MAX_DETS = (1, 10, 100)
 
 
-def _iou_matrix(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+def _iou_matrix(pred: np.ndarray, gt: np.ndarray,
+                gt_iscrowd: np.ndarray = None) -> np.ndarray:
     if len(pred) == 0 or len(gt) == 0:
         return np.zeros((len(pred), len(gt)))
     px0, py0, px1, py1 = pred.T
@@ -42,6 +46,10 @@ def _iou_matrix(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     pa = (px1 - px0) * (py1 - py0)
     ga = (gx1 - gx0) * (gy1 - gy0)
     union = pa[:, None] + ga[None] - inter
+    if gt_iscrowd is not None and gt_iscrowd.any():
+        # pycocotools crowd semantics: IoU against a crowd GT is
+        # intersection over DETECTION area (maskUtils.iou iscrowd flag).
+        union = np.where(gt_iscrowd[None, :], pa[:, None], union)
     return inter / np.maximum(union, 1e-9)
 
 
@@ -51,25 +59,34 @@ def _box_area(boxes: np.ndarray) -> np.ndarray:
     return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
 
-def _evaluate_img_cat(pred_boxes, pred_scores, gt_boxes, area_rng, max_det):
+def _evaluate_img_cat(pred_boxes, pred_scores, gt_boxes, area_rng, max_det,
+                      gt_iscrowd=None):
     """Greedy matching for one (image, category, area, maxdet) cell.
 
     Returns (tp (T, D) bool, scores (D,), n_gt) with D ≤ max_det; GTs
-    outside the area range are 'ignored' — matches to them don't count as
-    TP or FP (COCOeval semantics)."""
-    order = np.argsort(-pred_scores)[:max_det]
+    outside the area range or marked iscrowd are 'ignored' — matches to
+    them don't count as TP or FP (COCOeval semantics). A non-crowd GT
+    matches at most one detection; only crowd GTs may absorb several."""
+    order = np.argsort(-pred_scores, kind="stable")[:max_det]
     pred_boxes = pred_boxes[order]
     pred_scores = pred_scores[order]
 
+    if gt_iscrowd is None:
+        gt_iscrowd = np.zeros(len(gt_boxes), bool)
+    else:
+        gt_iscrowd = np.asarray(gt_iscrowd, bool)
     gt_area = _box_area(gt_boxes)
-    gt_ignore = (gt_area < area_rng[0]) | (gt_area >= area_rng[1])
+    gt_ignore = (
+        (gt_area < area_rng[0]) | (gt_area >= area_rng[1]) | gt_iscrowd
+    )
     # sort GT: real first, ignored last (matching prefers real)
     gt_order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
     gt_boxes = gt_boxes[gt_order]
     gt_ignore = gt_ignore[gt_order]
+    gt_iscrowd = gt_iscrowd[gt_order]
     n_gt = int((~gt_ignore).sum())
 
-    ious = _iou_matrix(pred_boxes, gt_boxes)
+    ious = _iou_matrix(pred_boxes, gt_boxes, gt_iscrowd)
     t_cnt = len(IOU_THRS)
     d_cnt = len(pred_boxes)
     tp = np.zeros((t_cnt, d_cnt), bool)
@@ -85,8 +102,8 @@ def _evaluate_img_cat(pred_boxes, pred_scores, gt_boxes, area_rng, max_det):
         for di in range(d_cnt):
             best, best_iou = -1, thr
             for gi in range(len(gt_boxes)):
-                if taken[gi] and not gt_ignore[gi]:
-                    continue
+                if taken[gi] and not gt_iscrowd[gi]:
+                    continue  # only crowd GTs may be re-matched
                 if best >= 0 and gt_ignore[gi] and not gt_ignore[best]:
                     break  # already matched a real GT; ignored ones follow
                 if ious[di, gi] >= best_iou:
@@ -121,6 +138,10 @@ def evaluate_detections(groundtruths: Dict, predictions: Dict) -> Dict[str, floa
                 for img_id, gt in groundtruths.items():
                     g_mask = np.asarray(gt["labels"]) == cat
                     g_boxes = np.asarray(gt["boxes"], np.float64)[g_mask]
+                    if "iscrowd" in gt:
+                        g_crowd = np.asarray(gt["iscrowd"], bool)[g_mask]
+                    else:
+                        g_crowd = None
                     pred = predictions.get(img_id, None)
                     if pred is None:
                         p_boxes = np.zeros((0, 4))
@@ -130,7 +151,8 @@ def evaluate_detections(groundtruths: Dict, predictions: Dict) -> Dict[str, floa
                         p_boxes = np.asarray(pred["boxes"], np.float64)[p_mask]
                         p_scores = np.asarray(pred["scores"], np.float64)[p_mask]
                     tp, ig, sc, n_gt = _evaluate_img_cat(
-                        p_boxes, p_scores, g_boxes, area_rng, max_det)
+                        p_boxes, p_scores, g_boxes, area_rng, max_det,
+                        gt_iscrowd=g_crowd)
                     tps.append(tp)
                     igs.append(ig)
                     scores.append(sc)

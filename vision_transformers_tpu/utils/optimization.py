@@ -94,11 +94,14 @@ def objective(trial, *, model_cls, base_args: Dict[str, Any],
 
     model = model_cls(**args)
     acc = 0.0
+    state = None  # carried across epochs so training is progressive
     for epoch in range(num_epochs):
         hist = fit_fn(
             model, train_loader, val_loader, epochs=1,
             val_loader=val_loader, lr=lr, optimizer=optimizer, verbose=False,
+            state=state,
         )
+        state = hist.get("final_state", None)
         acc = hist["val_accuracy"][-1]
         trial.report(acc, epoch)
         if trial.should_prune():
