@@ -175,3 +175,78 @@ def test_dispatcher_key_padding_to_kernel():
         q, k, v, mask=kv_mask[:, None, None, :], backend="pallas")
     ref = mha_reference(q, k, v, mask=kv_mask[:, None, None, :])
     assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV kernel (reads (B, S, 3·H·D) in place; see flash_attention.py
+# "Packed-QKV attention" design note)
+
+from vision_transformers_tpu.ops.flash_attention import packed_flash_attention
+
+
+def _packed_oracle(qkv, heads):
+    b, s, three_hd = qkv.shape
+    d = three_hd // 3 // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    out = mha_reference(q, k, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+
+
+@pytest.mark.parametrize(
+    "b,s,heads,d",
+    [
+        (2, 65, 4, 64),    # ViT-tiny CIFAR
+        (1, 197, 3, 64),   # ViT-B-ish
+        (3, 50, 2, 32),
+    ],
+)
+def test_packed_forward_matches_oracle(b, s, heads, d):
+    qkv = jax.random.normal(
+        jax.random.PRNGKey(0), (b, s, 3 * heads * d), jnp.float32)
+    out = packed_flash_attention(qkv, heads)
+    ref = _packed_oracle(qkv, heads)
+    assert out.shape == ref.shape
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+def test_packed_gradients_match_oracle():
+    b, s, heads, d = 2, 33, 2, 16
+    qkv = jax.random.normal(
+        jax.random.PRNGKey(1), (b, s, 3 * heads * d), jnp.float32)
+
+    def loss_kernel(qkv):
+        o = packed_flash_attention(qkv, heads)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(qkv):
+        o = _packed_oracle(qkv, heads)
+        return jnp.sum(jnp.sin(o))
+
+    g1 = jax.grad(loss_kernel)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    assert jnp.max(jnp.abs(g1 - g2)) < 1e-4
+
+
+def test_packed_matches_selfattention_module():
+    """SelfAttention's split-head jnp path and the packed kernel agree on
+    the same qkv tensor (weight-layout compatibility)."""
+    from vision_transformers_tpu.ops.attention import SelfAttention
+
+    b, s, hd, heads = 2, 17, 64, 4
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, s, hd))
+    mod = SelfAttention(hidden_dim=hd, num_heads=heads)
+    params = mod.init({"params": jax.random.PRNGKey(3)}, x)
+    ref = mod.apply(params, x)  # CPU: jnp path
+
+    # packed path on the same projection output
+    kern = params["params"]["qkv"]["kernel"]
+    bias = params["params"]["qkv"]["bias"]
+    qkv = x @ kern + bias
+    packed = packed_flash_attention(qkv, heads)
+    wout = params["params"]["out"]["kernel"]
+    bout = params["params"]["out"]["bias"]
+    out = packed @ wout + bout
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5

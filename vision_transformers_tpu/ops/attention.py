@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from vision_transformers_tpu.core.initializers import xavier_uniform_init, zeros_init
-from vision_transformers_tpu.ops.flash_attention import flash_attention
+from vision_transformers_tpu.ops.flash_attention import (
+    flash_attention,
+    packed_flash_attention,
+    packed_flash_supported,
+)
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -147,28 +151,45 @@ class SelfAttention(nn.Module):
             dtype=self.dtype,
             name="qkv",
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
 
         drop = 0.0 if deterministic else self.attention_dropout
         rng = self.make_rng("dropout") if drop > 0.0 else None
+        weights = None
 
-        if return_weights:
-            scale = 1.0 / (dh ** 0.5)
-            scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) * scale
-            weights = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+        if (not return_weights and _use_pallas()
+                and packed_flash_supported(b, s, qkv.shape[-1],
+                                           qkv.dtype.itemsize)):
+            # Packed path: the kernel reads the projection output in place —
+            # no head split/transpose round trips (flash_attention.py,
+            # "Packed-QKV attention" design note). Probability dropout runs
+            # in-kernel via the pltpu PRNG, so the reference training
+            # configs (attention_dropout=0.1) stay on the kernel path.
+            seed = None
+            if drop > 0.0:
+                seed = jax.random.randint(
+                    rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            out = packed_flash_attention(qkv, h, dropout_rate=drop,
+                                         seed=seed)
         else:
-            weights = None
-            out = dot_product_attention(
-                q, k, v, dropout_rate=drop, dropout_rng=rng
-            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+            k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+            v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, self.hidden_dim)
+            if return_weights:
+                scale = 1.0 / (dh ** 0.5)
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32
+                ) * scale
+                weights = jax.nn.softmax(scores, axis=-1)
+                out = jnp.einsum(
+                    "bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+            else:
+                out = dot_product_attention(
+                    q, k, v, dropout_rate=drop, dropout_rng=rng
+                )
+            out = out.transpose(0, 2, 1, 3).reshape(b, s, self.hidden_dim)
         out = nn.Dense(
             self.hidden_dim,
             use_bias=self.out_bias,

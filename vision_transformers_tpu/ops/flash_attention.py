@@ -431,6 +431,292 @@ def _flash_bwd_pallas(q, k, v, out, lse, do, scale, kv_valid):
     return dq, dk, dv
 
 
+# ---------------------------------------------------------------------------
+# Packed-QKV attention: consumes the QKV projection output (B, S, 3·H·D)
+# directly and emits (B, S, H·D).
+#
+# Why (measured on v5e, benchmarks/attn_packed.py): the split-heads path is
+# HBM-bound end to end — the kernel itself is a ~1.4 ms/layer HBM pipeline
+# (copy-only == full kernel), and the XLA transposes around it (q/k/v
+# (B,S,3HD)→(B,H,S,D), kt pre-transpose, out transpose back) roughly triple
+# that. (B,S,D·H) blocks also waste half of every 128-lane tile at D=64.
+# Reading the packed projection output in place eliminates every transpose
+# and all lane waste: 4.7 → 1.8 ms/layer including the QKV matmul.
+# Head slices live at 64-lane offsets inside the block; the QK^T contraction
+# runs lane×lane (Mosaic handles the operand swizzle in registers, which is
+# free here — the kernel stays memory-bound).
+
+_PACKED_VMEM_TARGET = 13 * 1024 * 1024  # b_blk=4 at ViT-B uses ~11.6 MB
+
+
+def packed_flash_supported(b: int, s: int, three_hd: int,
+                           itemsize: int) -> bool:
+    """True if one image's packed working set fits the VMEM budget (large S
+    — e.g. 1025 tokens — must use the split-head kernel instead)."""
+    hd = three_hd // 3
+    per_image = 2 * (s * three_hd + s * hd) * itemsize + 3 * s * s * 4
+    return per_image <= _PACKED_VMEM_TARGET
+
+
+def _pick_batch_block(b: int, s: int, hd: int, itemsize: int,
+                      n_score_bufs: int = 3) -> int:
+    """Largest divisor of b whose per-program working set fits VMEM:
+    double-buffered qkv-in + out blocks, plus ~n live fp32 score buffers."""
+    per_image = 2 * (s * 3 * hd + s * hd) * itemsize + n_score_bufs * s * s * 4
+    cap = max(1, _PACKED_VMEM_TARGET // max(per_image, 1))
+    blk = min(cap, 32, b)
+    while blk > 1 and b % blk:
+        blk -= 1
+    return blk
+
+
+def _dropout_keep(shape, rate):
+    """In-kernel Bernoulli keep-mask from the already-seeded pltpu PRNG.
+    P(keep) = 1 - rate; the caller must have called pltpu.prng_seed."""
+    bits = pltpu.prng_random_bits(shape)
+    # prng_random_bits yields raw 32-bit words typed int32 — compare
+    # unsigned or half the range lands below any positive threshold.
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    thresh = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    return bits >= thresh
+
+
+def _packed_fwd_kernel(qkv_ref, o_ref, lse_ref, *, heads, dh, scale,
+                       dropout_rate=0.0, seed_ref=None):
+    hd = heads * dh
+    if dropout_rate > 0.0:
+        # Mask depends on (seed, program, head-iteration order) only; the
+        # bwd kernel replays the identical stream (same b_blk enforced).
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    for h in range(heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, hd + h * dh:hd + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                    # (b_blk, Sq, Sk)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            # torch MHA drops the normalized probabilities; dividing the
+            # output by the undropped denom is equivalent.
+            keep = _dropout_keep(e.shape, dropout_rate)
+            e = jnp.where(keep, e, 0.0) * (1.0 / (1.0 - dropout_rate))
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # divide the (S, D) output, not the (S, S) probabilities
+        o_ref[:, :, h * dh:(h + 1) * dh] = (o / denom).astype(o_ref.dtype)
+        lse_ref[:, :, h:h + 1] = m + jnp.log(denom)
+
+
+def _packed_bwd_kernel(qkv_ref, do_ref, out_ref, lse_ref, dqkv_ref,
+                       *, heads, dh, scale, dropout_rate=0.0, seed_ref=None):
+    """Recompute-from-(qkv, lse) backward; S×S never touches HBM."""
+    hd = heads * dh
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    for h in range(heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, hd + h * dh:hd + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        do = do_ref[:, :, h * dh:(h + 1) * dh]
+        out = out_ref[:, :, h * dh:(h + 1) * dh]
+        lse = lse_ref[:, :, h:h + 1]
+
+        bmm_nt = lambda a, b: jax.lax.dot_general(   # contract lanes×lanes
+            a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        bmm_tn = lambda a, b: jax.lax.dot_general(   # contract sublanes
+            a, b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        bmm_nn = lambda a, b: jax.lax.dot_general(
+            a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        s = bmm_nt(q, k) * scale                    # (b, Sq, Sk)
+        p = jnp.exp(s - lse)
+        delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1, keepdims=True)     # (b, Sq, 1)
+        dp = bmm_nt(do, v)                          # (b, Sq, Sk)
+        if dropout_rate > 0.0:
+            # Replay the forward's keep-mask (same seed/program/head order).
+            # With pd = keep⊙p/(1-r): dv = pdᵀdo, ds = p⊙(keep⊙dp/(1-r) − δ)
+            # where δ = rowsum(do⊙out) already reflects the dropped out.
+            keep = _dropout_keep(p.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p, 0.0) * inv
+            dp = jnp.where(keep, dp, 0.0) * inv
+        else:
+            pd = p
+        pb = pd.astype(do.dtype)
+        dv = bmm_tn(pb, do)                         # (b, Sk, D)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = bmm_nn(ds, k)                          # (b, Sq, D)
+        dk = bmm_tn(ds, q)                          # (b, Sk, D)
+        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, hd + h * dh:hd + (h + 1) * dh] = (
+            dk.astype(dqkv_ref.dtype))
+        dqkv_ref[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+def _packed_bwd_block(b, s, hd, itemsize):
+    """bwd holds qkv + do + out + dqkv blocks and ~4 live score buffers."""
+    per_image = 2 * (2 * s * 3 * hd + 2 * s * hd) * itemsize + 4 * s * s * 4
+    cap = max(1, _PACKED_VMEM_TARGET // max(per_image, 1))
+    b_blk = min(cap, 32, b)
+    while b_blk > 1 and b % b_blk:
+        b_blk -= 1
+    return b_blk
+
+
+def _packed_fwd(qkv, heads, scale, dropout_rate=0.0, seed=None):
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    dh = hd // heads
+    b_blk = _pick_batch_block(b, s, hd, qkv.dtype.itemsize)
+    if dropout_rate > 0.0:
+        # The keep-mask stream is a function of (seed, program_id, head):
+        # fwd and bwd must partition the batch identically to replay it.
+        b_blk = min(b_blk, _packed_bwd_block(b, s, hd, qkv.dtype.itemsize))
+    interpret = jax.default_backend() != "tpu"
+    in_specs = [pl.BlockSpec((b_blk, s, three_hd), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [qkv]
+    kern_kwargs = dict(heads=heads, dh=dh, scale=scale,
+                       dropout_rate=dropout_rate)
+    if dropout_rate > 0.0:
+        def kernel(seed_ref, qkv_ref, o_ref, lse_ref):
+            _packed_fwd_kernel(qkv_ref, o_ref, lse_ref,
+                               seed_ref=seed_ref, **kern_kwargs)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = [seed.astype(jnp.int32)] + args
+    else:
+        kernel = functools.partial(_packed_fwd_kernel, **kern_kwargs)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b // b_blk,),
+        interpret=interpret,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((b_blk, s, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_blk, s, heads), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, s, heads), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * s * dh,
+            bytes_accessed=4 * b * s * hd * qkv.dtype.itemsize,
+            transcendentals=b * heads * s * s,
+        ),
+    )(*args)
+    return out, lse
+
+
+def _packed_bwd_pallas(qkv, do, out, lse, heads, scale,
+                       dropout_rate=0.0, seed=None):
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    dh = hd // heads
+    b_blk = _packed_bwd_block(b, s, hd, qkv.dtype.itemsize)
+    if dropout_rate > 0.0:  # must mirror the fwd's partitioning (PRNG replay)
+        b_blk = min(b_blk, _pick_batch_block(b, s, hd, qkv.dtype.itemsize))
+    interpret = jax.default_backend() != "tpu"
+    in_specs = [
+        pl.BlockSpec((b_blk, s, three_hd), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_blk, s, hd), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_blk, s, hd), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_blk, s, heads), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qkv, do, out, lse]
+    kern_kwargs = dict(heads=heads, dh=dh, scale=scale,
+                       dropout_rate=dropout_rate)
+    if dropout_rate > 0.0:
+        def kernel(seed_ref, qkv_ref, do_ref, out_ref, lse_ref, dqkv_ref):
+            _packed_bwd_kernel(qkv_ref, do_ref, out_ref, lse_ref, dqkv_ref,
+                               seed_ref=seed_ref, **kern_kwargs)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = [seed.astype(jnp.int32)] + args
+    else:
+        kernel = functools.partial(_packed_bwd_kernel, **kern_kwargs)
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(b // b_blk,),
+        interpret=interpret,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b_blk, s, three_hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, three_hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * heads * s * s * dh,
+            bytes_accessed=8 * b * s * hd * qkv.dtype.itemsize,
+            transcendentals=b * heads * s * s,
+        ),
+    )(*args)
+    return dqkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _packed_flash(qkv, seed, heads, scale, dropout_rate):
+    out, _ = _packed_fwd(qkv, heads, scale, dropout_rate, seed)
+    return out
+
+
+def _packed_flash_fwd_rule(qkv, seed, heads, scale, dropout_rate):
+    out, lse = _packed_fwd(qkv, heads, scale, dropout_rate, seed)
+    return out, (qkv, seed, out, lse)
+
+
+def _packed_flash_bwd_rule(heads, scale, dropout_rate, res, do):
+    qkv, seed, out, lse = res
+    dqkv = _packed_bwd_pallas(qkv, do, out, lse, heads, scale,
+                              dropout_rate, seed)
+    return (dqkv, None)
+
+
+_packed_flash.defvjp(_packed_flash_fwd_rule, _packed_flash_bwd_rule)
+
+
+def packed_flash_attention(qkv, heads, scale=None, dropout_rate=0.0,
+                           seed=None):
+    """Self attention straight off the packed QKV projection.
+
+    qkv: (B, S, 3·H·D) laid out [q | k | v] along the last axis (torch
+    packed-MHA column order, vanilla_vit.py:67). Returns (B, S, H·D).
+
+    ``dropout_rate`` > 0 applies probability dropout INSIDE the kernel via
+    the pltpu PRNG (torch MHA dropout semantics; reference training configs
+    set attention_dropout=0.1, utils/args.py:6-15). ``seed``: (1,) int32;
+    the same seed replays the same mask (and the backward replays it too).
+    TPU only — interpret mode has no pltpu PRNG, and off-TPU callers
+    (ops.attention dispatcher) use the jnp path instead.
+    """
+    if scale is None:
+        scale = 1.0 / ((qkv.shape[-1] // (3 * heads)) ** 0.5)
+    if dropout_rate > 0.0 and seed is None:
+        raise ValueError("dropout_rate > 0 requires a seed")
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _packed_flash(qkv, seed, heads, scale, float(dropout_rate))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_attention(q, k, v, bias, kv_mask, scale, kv_valid, block_q):
     out, _ = _flash_fwd(q, k, v, bias, kv_mask, scale, kv_valid, block_q)
