@@ -23,18 +23,14 @@ from typing import Callable, Optional, Tuple, Union
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
-from tqdm import tqdm
 
 from vision_transformers_tpu.core.initializers import (
-    normal_init,
     trunc_normal_init,
     zeros_init,
 )
 from vision_transformers_tpu.models.image_classification.base import TrainableModel
 from vision_transformers_tpu.models.image_classification.vanilla_vit import EncoderBlock
 from vision_transformers_tpu.ops.patch_embed import PatchEmbed
-from vision_transformers_tpu.utils.distillation_loss import distillation_loss
 
 
 class DeiT(nn.Module, TrainableModel):
@@ -130,14 +126,17 @@ class DeiT(nn.Module, TrainableModel):
         distillation_type: str = "hard",
         alpha: float = 0.5,
         tau: float = 5.0,
-        lr: float = 1e-4,
-        seed: int = 0,
-        verbose: bool = True,
+        **fit_kwargs,
     ):
-        """Reference-parity distillation loop returning the same metrics
-        dict (deit.py:133-137). ``teacher``: (model, variables) or callable
-        images→logits; must be supplied (no pretrained zoo on TPU)."""
-        from vision_transformers_tpu.training import trainer as T
+        """Reference-parity distillation surface (deit.py:36-137) as a thin
+        wrapper over the shared trainer — it inherits steps_per_call
+        chunking, mesh sharding and checkpointing from ``fit``.
+
+        ``teacher``: (model, variables) or callable images→logits; must be
+        supplied (no pretrained regnety in a TPU-clean env). Extra kwargs
+        (lr, seed, verbose, mesh, steps_per_call, checkpoint_*) pass through
+        to ``fit``."""
+        from vision_transformers_tpu.training.trainer import fit
 
         if teacher is None:
             raise ValueError(
@@ -151,96 +150,15 @@ class DeiT(nn.Module, TrainableModel):
             t_model, t_vars = teacher
             teacher_fn = lambda x: t_model.apply(t_vars, x)
 
-        normalize = getattr(train_loader, "normalize", None)
-        rng = jax.random.PRNGKey(seed)
-
-        first = next(iter(train_loader))
-        images0 = T._as_nhwc(T._to_numpy(first[0]))
-        batch_size = images0.shape[0]
-        state = T.make_train_state(self, rng, jnp.asarray(images0[:1]), lr=lr)
-
-        def train_step(state, images, labels, weights, rng):
-            drop_rng = jax.random.fold_in(rng, state.step)
-            x = T._default_preprocess(images, normalize)
-            teacher_logits = jax.lax.stop_gradient(teacher_fn(x))
-
-            def loss_fn(params):
-                cls_logits, dist_logits = self.apply(
-                    {"params": params}, x,
-                    deterministic=False, rngs={"dropout": drop_rng},
-                )
-                base = T.cross_entropy_with_weights(cls_logits, labels, weights)
-                loss = distillation_loss(
-                    base, dist_logits, teacher_logits,
-                    distillation_type, alpha, tau,
-                )
-                return loss, cls_logits
-
-            (loss, cls_logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            state = state.apply_gradients(grads=grads)
-            pred = jnp.argmax(cls_logits, axis=-1)
-            correct = jnp.sum((pred == labels) * weights)
-            n = jnp.sum(weights)
-            return state, loss * n, correct, n
-
-        train_step = jax.jit(train_step, donate_argnums=0)
-        eval_step = jax.jit(T.eval_step_fn(self, normalize))
-
-        history = {
-            "train_loss": [], "val_loss": [] if val_loader else None,
-            "test_loss": [],
-            "train_accuracy": [], "val_accuracy": [] if val_loader else None,
-            "test_accuracy": [],
-        }
-
-        def run_eval(params, loader):
-            ls = jnp.float32(0); cs = jnp.float32(0); ns = jnp.float32(0)
-            for images, labels in loader:
-                images = T._as_nhwc(T._to_numpy(images))
-                labels = T._to_numpy(labels)
-                images, labels, weights = T._pad_batch(images, labels, batch_size)
-                l, c, n = eval_step(params, jnp.asarray(images),
-                                    jnp.asarray(labels), jnp.asarray(weights))
-                ls += l; cs += c; ns += n
-            ns = jnp.maximum(ns, 1.0)
-            return float(ls / ns), float(cs / ns)
-
-        step_rng = jax.random.fold_in(rng, 1)
-        for epoch in range(epochs):
-            ls = jnp.float32(0); cs = jnp.float32(0); ns = jnp.float32(0)
-            it = tqdm(train_loader, desc=f"Epoch {epoch + 1}/{epochs}",
-                      unit="batch", disable=not verbose)
-            for images, labels in it:
-                images = T._as_nhwc(T._to_numpy(images))
-                labels = T._to_numpy(labels)
-                images, labels, weights = T._pad_batch(images, labels, batch_size)
-                state, l, c, n = train_step(
-                    state, jnp.asarray(images), jnp.asarray(labels),
-                    jnp.asarray(weights), step_rng,
-                )
-                ls += l; cs += c; ns += n
-            ns = jnp.maximum(ns, 1.0)
-            history["train_loss"].append(float(ls / ns))
-            history["train_accuracy"].append(float(cs / ns))
-            if val_loader is not None:
-                vl, va = run_eval(state.params, val_loader)
-                history["val_loss"].append(vl)
-                history["val_accuracy"].append(va)
-            tl, ta = run_eval(state.params, test_loader)
-            history["test_loss"].append(tl)
-            history["test_accuracy"].append(ta)
-            if verbose:
-                tqdm.write(
-                    f"Epoch {epoch + 1}/{epochs} - "
-                    f"Train Loss: {history['train_loss'][-1]:.4f}, "
-                    f"Train Acc: {history['train_accuracy'][-1]:.4f}, "
-                    f"Test Loss: {tl:.4f}, Test Acc: {ta:.4f}"
-                )
-
-        history["final_state"] = state
-        return history
+        # training forward must yield (cls_logits, dist_logits)
+        model = self if self.distilled_training else self.clone(
+            distilled_training=True)
+        return fit(
+            model, train_loader, test_loader, epochs, val_loader,
+            teacher_fn=teacher_fn,
+            distill=(distillation_type, alpha, tau),
+            **fit_kwargs,
+        )
 
 
 if __name__ == "__main__":

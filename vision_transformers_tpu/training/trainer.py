@@ -59,10 +59,11 @@ def _default_preprocess(images, normalize):
     return x
 
 
-def multi_train_step_fn(model, normalize=None, loss_fn=None):
+def multi_train_step_fn(model, normalize=None, loss_fn=None,
+                        teacher_fn=None, distill=None):
     """k steps per dispatch via lax.scan — amortizes host→device dispatch
     latency for small models (batches stacked to (k, B, ...))."""
-    step = train_step_fn(model, normalize, loss_fn)
+    step = train_step_fn(model, normalize, loss_fn, teacher_fn, distill)
 
     def multi(state: TrainState, images, labels, weights, rng):
         def body(state, batch):
@@ -101,8 +102,14 @@ def multi_eval_step_fn(model, normalize=None, loss_fn=None):
     return multi
 
 
-def train_step_fn(model, normalize=None, loss_fn=None):
-    """Build the jitted train step for a classification model."""
+def train_step_fn(model, normalize=None, loss_fn=None,
+                  teacher_fn=None, distill=None):
+    """Build the jitted train step for a classification model.
+
+    ``teacher_fn`` (images→logits) enables DeiT-style distillation: the
+    model's training forward must return (cls_logits, dist_logits) and
+    ``distill`` = (type, alpha, tau) blends the base loss with the
+    distillation term (utils/distillation_loss.py)."""
     loss_fn = loss_fn or cross_entropy_with_weights
 
     def step(state: TrainState, images, labels, weights, rng):
@@ -110,10 +117,23 @@ def train_step_fn(model, normalize=None, loss_fn=None):
         x = _default_preprocess(images, normalize)
 
         def compute_loss(params):
-            logits = model.apply(
+            out = model.apply(
                 {"params": params}, x,
                 deterministic=False, rngs={"dropout": dropout_rng},
             )
+            if teacher_fn is not None:
+                from vision_transformers_tpu.utils.distillation_loss import (
+                    distillation_loss,
+                )
+
+                cls_logits, dist_logits = out
+                base = loss_fn(cls_logits, labels, weights)
+                teacher_logits = jax.lax.stop_gradient(teacher_fn(x))
+                dtype_, alpha, tau = distill or ("hard", 0.5, 5.0)
+                loss = distillation_loss(
+                    base, dist_logits, teacher_logits, dtype_, alpha, tau)
+                return loss, cls_logits
+            logits = out
             loss = loss_fn(logits, labels, weights)
             return loss, logits
 
@@ -230,6 +250,8 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 0,
     steps_per_call: int = 1,
+    teacher_fn: Optional[Callable] = None,
+    distill: Optional[Tuple[str, float, float]] = None,
     **opt_kwargs,
 ):
     """Train ``model``; returns the reference-parity metrics dict.
@@ -300,11 +322,14 @@ def fit(
             state = jax.device_put(state, NamedSharding(mesh, P()))
     if k == 1:
         train_step = jax.jit(
-            train_step_fn(model, normalize, loss_fn), donate_argnums=0)
+            train_step_fn(model, normalize, loss_fn, teacher_fn, distill),
+            donate_argnums=0)
         eval_step = jax.jit(eval_step_fn(model, normalize, loss_fn))
     else:
         train_step = jax.jit(
-            multi_train_step_fn(model, normalize, loss_fn), donate_argnums=0)
+            multi_train_step_fn(model, normalize, loss_fn, teacher_fn,
+                                distill),
+            donate_argnums=0)
         eval_step = jax.jit(multi_eval_step_fn(model, normalize, loss_fn))
 
     def put(arrs):
