@@ -26,7 +26,10 @@ F = torch.nn.functional
 
 
 def t2n(p):
-    return p.detach().numpy()
+    # .copy(): jnp.asarray zero-copies aligned numpy views on CPU, so
+    # without it torch's in-place optimizer updates would silently mutate
+    # the "extracted" jax params (bit us in the trajectory parity test).
+    return p.detach().numpy().copy()
 
 
 def lin(tl):  # torch Linear -> flax Dense params
@@ -81,17 +84,8 @@ class TorchViT(torch.nn.Module):
         return self.head(self.ln(x)[:, 0])
 
 
-def test_full_vit_forward_matches_torch():
-    from vision_transformers_tpu.models.image_classification import ViT
-
-    img, patch, layers, heads, dim, mlp, classes = 32, 8, 2, 4, 64, 128, 10
-    tm = TorchViT(img, patch, layers, heads, dim, mlp, classes).eval()
-
-    rng = np.random.RandomState(0)
-    x_nchw = rng.randn(2, 3, img, img).astype(np.float32)
-    with torch.no_grad():
-        ref = tm(torch.tensor(x_nchw)).numpy()
-
+def vit_params_from_torch(tm: "TorchViT", dim: int) -> dict:
+    """Map TorchViT weights onto our flax ViT param tree."""
     enc = {"pos_embedding": t2n(tm.pos), "ln": ln(tm.ln)}
     for i, b in enumerate(tm.blocks):
         enc[f"encoder_layer_{i}"] = {
@@ -115,7 +109,21 @@ def test_full_vit_forward_matches_torch():
         "encoder": enc,
         "head": lin(tm.head),
     }
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def test_full_vit_forward_matches_torch():
+    from vision_transformers_tpu.models.image_classification import ViT
+
+    img, patch, layers, heads, dim, mlp, classes = 32, 8, 2, 4, 64, 128, 10
+    tm = TorchViT(img, patch, layers, heads, dim, mlp, classes).eval()
+
+    rng = np.random.RandomState(0)
+    x_nchw = rng.randn(2, 3, img, img).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x_nchw)).numpy()
+
+    params = vit_params_from_torch(tm, dim)
 
     model = ViT(image_size=img, patch_size=patch, num_layers=layers,
                 num_heads=heads, hidden_dim=dim, mlp_dim=mlp,

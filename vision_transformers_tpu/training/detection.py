@@ -6,8 +6,10 @@ incomplete and nothing wires the COCO pipeline to a loop). This provides:
 - ``DetectionLoader``: batches a CocoDetection dataset with the DETR
   collate (padded NestedTensor, bucketed static shapes) behind a prefetch
   thread.
-- ``fit_detection``: jitted train step (forward + Hungarian matching via
-  host callback + set loss + Adam update, one compile per shape bucket),
+- ``fit_detection``: jitted train step (forward + Hungarian matching — an
+  on-device auction by default on TPU, scipy host callback elsewhere
+  (matcher.py:189-196) — + set loss + Adam update, one compile per shape
+  bucket),
   MetricLogger loss-dict logging (the reference's reduce_dict semantics),
   per-epoch COCO evaluation via PostProcess + evaluate_detections.
 """
