@@ -79,7 +79,7 @@ def main():
             make_train_state, train_step_fn,
         )
 
-        tb = 128
+        tb = 192  # measured sweep: 128/192/256 -> 64.1/67.1/66.7% MFU
         xt = x[:tb]
         labels = jnp.zeros((tb,), jnp.int32)
         w = jnp.ones((tb,), jnp.float32)

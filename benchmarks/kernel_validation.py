@@ -197,11 +197,43 @@ def bf16_fingerprints():
     record("packed_bf16_fingerprint", True, json.dumps(fp))
 
 
+
+def validate_fused_block():
+    """Fused LN+QKV+attn+out+residual sub-block vs its jnp twin, on-chip."""
+    for s, hd, heads, dtype in ((197, 768, 12, jnp.bfloat16),
+                                (65, 256, 4, jnp.float32)):
+        if not fa.fused_block_supported(s, hd, jnp.dtype(dtype).itemsize):
+            record(f"fused_block s{s} hd{hd} {jnp.dtype(dtype).name}",
+                   False, "unexpectedly unsupported")
+            continue
+        ks = jax.random.split(jax.random.PRNGKey(30 + s), 7)
+        x = jax.random.normal(ks[0], (3, s, hd), jnp.float32).astype(dtype)
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (1, hd), jnp.float32)
+        beta = 0.1 * jax.random.normal(ks[2], (1, hd), jnp.float32)
+        wqkv = (jax.random.normal(ks[3], (hd, 3 * hd), jnp.float32)
+                * 0.05).astype(dtype)
+        bqkv = 0.05 * jax.random.normal(ks[4], (1, 3 * hd), jnp.float32)
+        wout = (jax.random.normal(ks[5], (hd, hd), jnp.float32)
+                * 0.05).astype(dtype)
+        bout = 0.05 * jax.random.normal(ks[6], (1, hd), jnp.float32)
+        scale = 1.0 / ((hd // heads) ** 0.5)
+        args = (x, gamma, beta, wqkv, bqkv, wout, bout)
+        got = jax.jit(functools.partial(
+            fa.fused_attention_block, heads=heads, scale=scale))(*args)
+        ref = fa._fused_block_ref(*args, heads, scale, 1e-6)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))))
+        tol = 0.05 if dtype == jnp.bfloat16 else 5e-3
+        record(f"fused_block s{s} hd{hd} {jnp.dtype(dtype).name}",
+               err < tol, f"max abs err {err:.2e} (tol {tol})")
+
+
 def main():
     assert jax.default_backend() == "tpu", "run on TPU hardware"
     validate_packed_fwd_bwd()
     validate_packed_dropout()
     validate_legacy_kernels()
+    validate_fused_block()
     bf16_fingerprints()
     ok = all(r["ok"] for r in RESULTS)
     artifact = {

@@ -250,3 +250,99 @@ def test_packed_matches_selfattention_module():
     bout = params["params"]["out"]["bias"]
     out = packed @ wout + bout
     assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Fused attention sub-block (LN + QKV + attention + out proj + residual)
+
+
+def _fused_inputs(b=2, s=33, hd=64, heads=4, seed=5):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    x = jax.random.normal(ks[0], (b, s, hd), jnp.float32)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (1, hd), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[2], (1, hd), jnp.float32)
+    wqkv = jax.random.normal(ks[3], (hd, 3 * hd), jnp.float32) * 0.1
+    bqkv = jax.random.normal(ks[4], (1, 3 * hd), jnp.float32) * 0.1
+    wout = jax.random.normal(ks[5], (hd, hd), jnp.float32) * 0.1
+    bout = jax.random.normal(ks[6], (1, hd), jnp.float32) * 0.1
+    return x, gamma, beta, wqkv, bqkv, wout, bout
+
+
+def test_fused_block_matches_ref():
+    from vision_transformers_tpu.ops.flash_attention import (
+        _fused_block_ref, fused_attention_block,
+    )
+
+    args = _fused_inputs()
+    heads, scale = 4, 1.0 / 4.0
+    ref = _fused_block_ref(*args, heads, scale, 1e-6)
+    got = fused_attention_block(*args, heads, scale)
+    assert jnp.max(jnp.abs(got - ref)) < 1e-4
+
+
+def test_fused_block_matches_encoder_block_math():
+    """Fused op == the modular EncoderBlock attention sub-block (LN ->
+    SelfAttention -> residual) on the same weights."""
+    import flax.linen as nn
+
+    from vision_transformers_tpu.ops.attention import SelfAttention
+    from vision_transformers_tpu.ops.flash_attention import (
+        fused_attention_block,
+    )
+
+    b, s, hd, heads = 2, 17, 64, 4
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, s, hd))
+
+    class SubBlock(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+            y = SelfAttention(hd, heads, name="self_attention")(y)
+            return x + y
+
+    mod = SubBlock()
+    variables = mod.init({"params": jax.random.PRNGKey(9)}, x)
+    ref = mod.apply(variables, x)
+
+    p = variables["params"]
+    got = fused_attention_block(
+        x,
+        p["ln_1"]["scale"].reshape(1, -1), p["ln_1"]["bias"].reshape(1, -1),
+        p["self_attention"]["qkv"]["kernel"],
+        p["self_attention"]["qkv"]["bias"].reshape(1, -1),
+        p["self_attention"]["out"]["kernel"],
+        p["self_attention"]["out"]["bias"].reshape(1, -1),
+        heads, 1.0 / (hd // heads) ** 0.5,
+    )
+    assert jnp.max(jnp.abs(got - ref)) < 1e-5
+
+
+def test_fused_block_gradients_match_ref():
+    from vision_transformers_tpu.ops.flash_attention import (
+        _fused_block_ref, fused_attention_block,
+    )
+
+    args = _fused_inputs(b=1, s=9, hd=32, heads=2, seed=6)
+    heads, scale = 2, 1.0 / 4.0
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(fused_attention_block(*a, heads, scale)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_fused_block_ref(*a, heads, scale, 1e-6)))
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for a, b_ in zip(g1, g2):
+        assert jnp.max(jnp.abs(a - b_)) < 1e-4
+
+
+def test_fused_block_supported_bounds():
+    from vision_transformers_tpu.ops.flash_attention import (
+        fused_block_supported,
+    )
+
+    assert fused_block_supported(197, 768, 2)        # ViT-B bf16
+    assert not fused_block_supported(197, 768, 4)    # ViT-B fp32: weights OOM
+    assert not fused_block_supported(197, 1024, 2)   # ViT-L bf16: weights OOM
+    assert fused_block_supported(65, 256, 4)         # CIFAR ViT-tiny fp32

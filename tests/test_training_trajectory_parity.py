@@ -102,6 +102,60 @@ def test_sgd_trajectory_matches_torch():
     np.testing.assert_allclose(got, ref_logits, rtol=2e-3, atol=2e-3)
 
 
+def test_adam_trajectory_matches_torch():
+    """Adam(lr=1e-4) is the optimizer of every reference train loop
+    (base.py:35, vanilla_vit.py:221) — trajectory-match it through our
+    actual optimizer factory (training/optimizers.py)."""
+    import optax
+
+    from vision_transformers_tpu.models.image_classification import ViT
+    from vision_transformers_tpu.training.optimizers import make_optimizer
+
+    img, patch, layers, heads, dim, mlp, classes = 32, 8, 1, 2, 32, 64, 10
+    n_steps, batch, lr = 10, 8, 1e-2  # higher lr than 1e-4 to move weights
+
+    torch.manual_seed(2)
+    tm = TorchViT(img, patch, layers, heads, dim, mlp, classes)
+    params = vit_params_from_torch(tm, dim)
+    model = ViT(image_size=img, patch_size=patch, num_layers=layers,
+                num_heads=heads, hidden_dim=dim, mlp_dim=mlp,
+                num_classes=classes)
+    xs, ys = _make_batches(n_steps, batch, img, classes, seed=11)
+
+    opt = torch.optim.Adam(tm.parameters(), lr=lr)
+    crit = torch.nn.CrossEntropyLoss()
+    ref_losses = []
+    for x, y in zip(xs, ys):
+        opt.zero_grad()
+        loss = crit(tm(torch.tensor(x)), torch.tensor(y))
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    tx = make_optimizer("adam", lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x, y):
+        logits = model.apply({"params": p}, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(logp[jnp.arange(y.shape[0]), y])
+
+    @jax.jit
+    def step(p, s, x, y):
+        loss, g = jax.value_and_grad(loss_fn)(p, x, y)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    for x, y in zip(xs, ys):
+        params, opt_state, loss = step(
+            params, opt_state,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y))
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=5e-4, atol=5e-4)
+
+
 def test_sgd_momentum_trajectory_matches_torch():
     """The reference HPO searches SGD among its optimizers
     (utils/optimization.py:26-33); check the momentum update rule too."""

@@ -24,8 +24,22 @@ import jax.numpy as jnp
 from vision_transformers_tpu.core.initializers import normal_init, zeros_init
 from vision_transformers_tpu.models.image_classification.base import TrainableModel
 from vision_transformers_tpu.ops.attention import SelfAttention
+from vision_transformers_tpu.ops.flash_attention import (
+    fused_attention_block,
+    fused_block_supported,
+)
 from vision_transformers_tpu.ops.mlp import MLPBlock
 from vision_transformers_tpu.ops.patch_embed import PatchEmbed
+
+
+# Measured on v5e (ViT-B/16 @224, bench.py): routing inference through the
+# fused LN+QKV+attn+out+residual kernel REGRESSED end-to-end throughput,
+# 4173 -> 3863 img/s, despite winning the isolated sub-block comparison
+# (benchmarks/attn_fused_block.py: 2.39 vs 2.62 ms/layer). In the full
+# model XLA already fuses the LN/projection epilogues around the packed
+# kernel better than the standalone baseline, and the b_blk=1 fused grid
+# forfeits that overlap. Kept as an optimization valve.
+USE_FUSED_BLOCK = False
 
 
 class EncoderBlock(nn.Module):
@@ -38,21 +52,53 @@ class EncoderBlock(nn.Module):
     attention_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
+    def _use_fused_block(self, x, deterministic, return_weights) -> bool:
+        return (
+            USE_FUSED_BLOCK
+            and deterministic
+            and not return_weights
+            and not self.is_initializing()   # modular path creates params
+            and jax.default_backend() == "tpu"
+            and x.ndim == 3
+            and fused_block_supported(
+                x.shape[1], self.hidden_dim, jnp.dtype(self.dtype).itemsize)
+        )
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_weights: bool = False):
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
-        attn = SelfAttention(
-            self.hidden_dim, self.num_heads,
-            attention_dropout=self.attention_dropout,
-            dtype=self.dtype, name="self_attention",
-        )
-        if return_weights:
-            y, weights = attn(y, deterministic=deterministic, return_weights=True)
+        weights = None
+        if self._use_fused_block(x, deterministic, return_weights):
+            # Inference fast path: LN1 + QKV + attention + out-proj +
+            # residual as ONE Pallas program with VMEM-resident weights
+            # (flash_attention.py "Fused attention sub-block" note).
+            # Reads the same params the modular path creates.
+            ln_p = self.get_variable("params", "ln_1")
+            at_p = self.get_variable("params", "self_attention")
+            dh = self.hidden_dim // self.num_heads
+            x = fused_attention_block(
+                x,
+                ln_p["scale"].astype(jnp.float32).reshape(1, -1),
+                ln_p["bias"].astype(jnp.float32).reshape(1, -1),
+                at_p["qkv"]["kernel"].astype(self.dtype),
+                at_p["qkv"]["bias"].astype(jnp.float32).reshape(1, -1),
+                at_p["out"]["kernel"].astype(self.dtype),
+                at_p["out"]["bias"].astype(jnp.float32).reshape(1, -1),
+                self.num_heads, 1.0 / (dh ** 0.5),
+            )
         else:
-            weights = None
-            y = attn(y, deterministic=deterministic)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        x = x + y
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
+            attn = SelfAttention(
+                self.hidden_dim, self.num_heads,
+                attention_dropout=self.attention_dropout,
+                dtype=self.dtype, name="self_attention",
+            )
+            if return_weights:
+                y, weights = attn(y, deterministic=deterministic,
+                                  return_weights=True)
+            else:
+                y = attn(y, deterministic=deterministic)
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            x = x + y
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
         y = MLPBlock(self.mlp_dim, dropout=self.dropout, dtype=self.dtype, name="mlp")(

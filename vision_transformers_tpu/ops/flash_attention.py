@@ -673,6 +673,172 @@ def _packed_bwd_pallas(qkv, do, out, lse, heads, scale,
     return dqkv
 
 
+# ---------------------------------------------------------------------------
+# Fused attention sub-block: LN1 + QKV projection + attention + out
+# projection + residual in ONE kernel (vanilla_vit.py:73-78 semantics).
+#
+# Why (measured on v5e, benchmarks/attn_fused_block.py): even with the
+# packed kernel, the sub-block's stages round-trip HBM between XLA and
+# Pallas — the LN output, the (B,S,3HD) qkv tensor, and the attention
+# output are each written and re-read. Keeping Wqkv/Wout VMEM-resident
+# (constant index map) and doing LN on the VPU drops the sub-block from
+# 2.62 to 2.39 ms/layer at ViT-B/16. Inference path only: the backward is
+# a jnp recompute (training stays on the packed kernel, whose bwd never
+# materializes S×S).
+
+_FUSED_VMEM_TARGET = 14 * 1024 * 1024
+
+
+def fused_block_supported(s: int, hd: int, itemsize: int) -> bool:
+    """True if the b_blk=1 fused working set fits VMEM. Mosaic
+    double-buffers even constant-index weight blocks (measured), so the
+    weights count twice; ViT-L bf16 (hd=1024) misses the budget and falls
+    back to the packed path."""
+    weights = 2 * (hd * 3 * hd + hd * hd) * itemsize
+    blocks = 2 * 2 * s * hd * itemsize          # x + out, double-buffered
+    interm = (s * 3 * hd * itemsize              # qkv
+              + 3 * s * s * 4                    # live fp32 score buffers
+              + 2 * s * hd * 4)                  # fp32 xf / out accum
+    return weights + blocks + interm <= _FUSED_VMEM_TARGET
+
+
+def _fused_block_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
+                        bout_ref, o_ref, *, heads, dh, scale, eps):
+    x = x_ref[...]                                    # (1, S, HD)
+    xf = x.astype(jnp.float32)
+
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * g_ref[...] + b_ref[...]).astype(x.dtype)
+
+    qkv = jax.lax.dot_general(                        # (1, S, 3HD)
+        xn, wqkv_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + bqkv_ref[...]).astype(x.dtype)
+
+    hd = heads * dh
+    attn_out = []
+    for h in range(heads):
+        q = qkv[:, :, h * dh:(h + 1) * dh]
+        k = qkv[:, :, hd + h * dh:hd + (h + 1) * dh]
+        v = qkv[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn_out.append((o / denom).astype(x.dtype))
+    attn = jnp.concatenate(attn_out, axis=-1)         # (1, S, HD)
+
+    out = jax.lax.dot_general(
+        attn, wout_ref[...],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (out + bout_ref[...] + xf).astype(o_ref.dtype)
+
+
+def _fused_block_fwd_pallas(x, gamma, beta, wqkv, bqkv, wout, bout,
+                            heads, scale, eps):
+    b, s, hd = x.shape
+    dh = hd // heads
+    const = lambda i: (0, 0)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        functools.partial(_fused_block_kernel, heads=heads, dh=dh,
+                          scale=scale, eps=eps),
+        grid=(b,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, 3 * hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * hd * 4 * hd + 4 * b * s * s * hd,
+            bytes_accessed=2 * b * s * hd * x.dtype.itemsize,
+            transcendentals=b * heads * s * s,
+        ),
+    )(x, gamma, beta, wqkv, bqkv, wout, bout)
+
+
+def _fused_block_ref(x, gamma, beta, wqkv, bqkv, wout, bout,
+                     heads, scale, eps):
+    """jnp twin: unit-test oracle and the recompute backward."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+    qkv = (jnp.einsum("bsd,df->bsf", xn, wqkv,
+                      preferred_element_type=jnp.float32)
+           + bqkv).astype(x.dtype)
+    b, s, three_hd = qkv.shape
+    hd = three_hd // 3
+    dh = hd // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(sc, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, hd).astype(x.dtype)
+    out = (jnp.einsum("bsd,df->bsf", o, wout,
+                      preferred_element_type=jnp.float32) + bout)
+    return (out + xf).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_attention_block(x, gamma, beta, wqkv, bqkv, wout, bout,
+                          heads, scale, eps=1e-6):
+    """x + out_proj(attention(qkv_proj(LN(x)))) as one Pallas program.
+
+    x: (B, S, HD); gamma/beta/bqkv/bout: fp32 (1, dim) rows; wqkv/wout in
+    the compute dtype. Inference fast path — gradients fall back to a jnp
+    recompute of the whole sub-block (training uses the packed kernel).
+    """
+    return _fused_block_fwd_pallas(x, gamma, beta, wqkv, bqkv, wout, bout,
+                                   heads, scale, eps)
+
+
+def _fused_block_fwd_rule(x, gamma, beta, wqkv, bqkv, wout, bout,
+                          heads, scale, eps):
+    out = _fused_block_fwd_pallas(x, gamma, beta, wqkv, bqkv, wout, bout,
+                                  heads, scale, eps)
+    return out, (x, gamma, beta, wqkv, bqkv, wout, bout)
+
+
+def _fused_block_bwd_rule(heads, scale, eps, res, do):
+    _, vjp = jax.vjp(
+        lambda *a: _fused_block_ref(*a, heads, scale, eps), *res)
+    return vjp(do)
+
+
+fused_attention_block.defvjp(_fused_block_fwd_rule, _fused_block_bwd_rule)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _packed_flash(qkv, seed, heads, scale, dropout_rate):
     out, _ = _packed_fwd(qkv, heads, scale, dropout_rate, seed)
