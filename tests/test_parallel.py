@@ -160,3 +160,54 @@ def test_fit_one_shot_generator_train_loader():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="one-shot"):
         fit(model2, iter(base), base, epochs=2, lr=3e-3, verbose=False)
+
+
+def test_fit_detection_mesh_dp_matches_single():
+    """Data-parallel DETR training over the mesh 'data' axis matches the
+    unsharded run (the reference vendored DDP/NCCL helpers for exactly
+    this COCO stack, utils/coco/util/misc.py:363-429, but never wired
+    them). On-device auction matching keeps the step one XLA program
+    under sharding (no host callback)."""
+    from tests.test_coco_utils import _write_tiny_coco
+    from vision_transformers_tpu.models.object_detection import Detr
+    from vision_transformers_tpu.models.object_detection.criterion import (
+        SetCriterion,
+    )
+    from vision_transformers_tpu.models.object_detection.matcher import (
+        HungarianMatcher,
+    )
+    from vision_transformers_tpu.training.detection import (
+        DetectionLoader, fit_detection,
+    )
+    from vision_transformers_tpu.utils.coco.build_coco import CocoDetection
+    from vision_transformers_tpu.utils.coco import transforms as T
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as td:
+        img_dir, ann_file = _write_tiny_coco(pathlib.Path(td), n_images=4)
+        tr = T.Compose([
+            T.RandomResize([32]),
+            T.ToTensor(),
+            T.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+        ])
+
+        def run(mesh):
+            ds = CocoDetection(img_dir, ann_file, transforms=tr)
+            loader = DetectionLoader(ds, batch_size=4, shuffle=False,
+                                     size_bucket=32)
+            model = Detr(num_classes=5, num_queries=8, hidden_dim=32,
+                         nheads=4, num_encoder_layers=1,
+                         num_decoder_layers=1, dim_feedforward=64,
+                         dropout=0.0, backbone_norm="group")
+            crit = SetCriterion(
+                num_classes=5, matcher=HungarianMatcher(method="auction"))
+            return fit_detection(
+                model, loader, 1, num_classes=5, max_targets=8,
+                criterion=crit, verbose=False, seed=0, mesh=mesh)
+
+        ref = run(None)
+        mesh = make_mesh((4, 2), ("data", "model"))
+        got = run(mesh)
+        assert np.isfinite(got["loss"][0])
+        np.testing.assert_allclose(got["loss"][0], ref["loss"][0],
+                                   rtol=1e-4, atol=1e-4)

@@ -427,3 +427,118 @@ def test_distillation_loss_matches_torch():
                                  jnp.asarray(teacher), "hard", alpha, tau)
     ref_hard = base_t.item() * (1 - alpha) + hard_t.item() * alpha
     assert abs(float(got_hard) - ref_hard) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# 6. SwinV2 shifted window attention (cosine attention + continuous
+#    position bias; torchvision V2 semantics — the reference registers
+#    swin_*v2 preset names with no model, utils/args.py:29-41)
+
+
+def torch_swin_v2_attention(x, qkv_w, qkv_b, proj_w, proj_b, logit_scale,
+                            cpb_w1, cpb_b1, cpb_w2, coords, rel_index,
+                            window, heads, shift):
+    """torchvision ShiftedWindowAttentionV2 math in torch ops."""
+    B, H, W, C = x.shape
+    wh, ww = window
+    pad_b, pad_r = (wh - H % wh) % wh, (ww - W % ww) % ww
+    x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+    _, pH, pW, _ = x.shape
+    sh = [0 if wh >= pH else shift[0], 0 if ww >= pW else shift[1]]
+    if sum(sh):
+        x = torch.roll(x, (-sh[0], -sh[1]), dims=(1, 2))
+    nw = (pH // wh) * (pW // ww)
+    xw = x.view(B, pH // wh, wh, pW // ww, ww, C)
+    xw = xw.permute(0, 1, 3, 2, 4, 5).reshape(B * nw, wh * ww, C)
+
+    qkv = F.linear(xw, qkv_w, qkv_b)
+    n = xw.shape[1]
+    qkv = qkv.reshape(B * nw, n, 3, heads, C // heads).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    attn = F.normalize(q, dim=-1) @ F.normalize(k, dim=-1).transpose(-2, -1)
+    scale = torch.clamp(logit_scale,
+                        max=torch.log(torch.tensor(100.0))).exp()
+    attn = attn * scale
+
+    # continuous position bias: MLP(coords) -> gather -> 16*sigmoid
+    table = F.linear(F.relu(F.linear(coords, cpb_w1, cpb_b1)), cpb_w2)
+    table = table.view(-1, heads)
+    rel = table[rel_index].view(n, n, heads).permute(2, 0, 1)
+    attn = attn + 16 * torch.sigmoid(rel)
+
+    if sum(sh):
+        region = x.new_zeros((pH, pW))
+        hs = ((0, -wh), (-wh, -sh[0]), (-sh[0], None))
+        ws = ((0, -ww), (-ww, -sh[1]), (-sh[1], None))
+        cnt = 0
+        for h0, h1 in hs:
+            for w0, w1 in ws:
+                region[h0:h1, w0:w1] = cnt
+                cnt += 1
+        region = region.view(pH // wh, wh, pW // ww, ww)
+        region = region.permute(0, 2, 1, 3).reshape(nw, wh * ww)
+        am = region.unsqueeze(1) - region.unsqueeze(2)
+        am = am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+        attn = attn.view(B, nw, heads, n, n) + am.unsqueeze(1).unsqueeze(0)
+        attn = attn.view(-1, heads, n, n)
+
+    out = F.softmax(attn, dim=-1) @ v
+    out = out.transpose(1, 2).reshape(B * nw, n, C)
+    out = F.linear(out, proj_w, proj_b)
+    out = out.view(B, pH // wh, pW // ww, wh, ww, C)
+    out = out.permute(0, 1, 3, 2, 4, 5).reshape(B, pH, pW, C)
+    if sum(sh):
+        out = torch.roll(out, (sh[0], sh[1]), dims=(1, 2))
+    return out[:, :H, :W, :]
+
+
+@pytest.mark.parametrize("shift", [(0, 0), (2, 2)])
+def test_swin_v2_window_attention_matches_torch(shift):
+    from vision_transformers_tpu.ops.windows import (
+        relative_coords_table, relative_position_index,
+        shifted_window_attention,
+    )
+
+    B, H, W, C, heads = 2, 12, 12, 32, 4
+    window = (4, 4)
+    rng = np.random.RandomState(7)
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    qkv_w = rng.randn(3 * C, C).astype(np.float32) * 0.1
+    q_b = rng.randn(C).astype(np.float32) * 0.1
+    v_b = rng.randn(C).astype(np.float32) * 0.1
+    qkv_b = np.concatenate([q_b, np.zeros(C, np.float32), v_b])
+    proj_w = rng.randn(C, C).astype(np.float32) * 0.1
+    proj_b = rng.randn(C).astype(np.float32) * 0.1
+    logit_scale = (rng.randn(heads, 1, 1) + np.log(10.0)).astype(np.float32)
+    cpb_w1 = rng.randn(512, 2).astype(np.float32) * 0.1
+    cpb_b1 = rng.randn(512).astype(np.float32) * 0.1
+    cpb_w2 = rng.randn(heads, 512).astype(np.float32) * 0.1
+
+    coords_np = relative_coords_table(*window)  # (1, 2wh-1, 2ww-1, 2)
+    idx_np = relative_position_index(*window)
+
+    with torch.no_grad():
+        ref = torch_swin_v2_attention(
+            torch.tensor(x), torch.tensor(qkv_w), torch.tensor(qkv_b),
+            torch.tensor(proj_w), torch.tensor(proj_b),
+            torch.tensor(logit_scale), torch.tensor(cpb_w1),
+            torch.tensor(cpb_b1), torch.tensor(cpb_w2),
+            torch.tensor(coords_np.astype(np.float32)),
+            torch.tensor(idx_np.astype(np.int64)),
+            window, heads, list(shift)).numpy()
+
+    # our side: compute the 16*sigmoid CPB bias and hand it to the core
+    n = window[0] * window[1]
+    table = np.maximum(coords_np @ cpb_w1.T + cpb_b1, 0.0) @ cpb_w2.T
+    table = table.reshape(-1, heads)
+    rel = table[idx_np].reshape(n, n, heads).transpose(2, 0, 1)
+    rel_bias = 16.0 / (1.0 + np.exp(-rel))
+
+    out = shifted_window_attention(
+        jnp.asarray(x), jnp.asarray(qkv_w.T), jnp.asarray(qkv_b),
+        jnp.asarray(proj_w.T), jnp.asarray(proj_b),
+        jnp.asarray(rel_bias.astype(np.float32)),
+        window, heads, list(shift),
+        logit_scale=jnp.asarray(logit_scale))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)

@@ -22,7 +22,12 @@ def _model_for(name: str):
     """Map an args-registry key like 'swin_tiny_cifar100' to a model class."""
     from vision_transformers_tpu.models import image_classification as ic
 
-    family = name.split("_")[0].lower()
+    parts = name.lower().split("_")
+    family = parts[0]
+    if family == "swin" and len(parts) > 1 and parts[1].endswith("v2"):
+        # the reference registers swin_*v2 preset names with no model
+        # behind them (utils/args.py:29-41); route them to the real SwinV2
+        return ic.SwinTransformerV2
     table = {
         "vit": ic.ViT,
         "vitb16": ic.ViT,

@@ -3,6 +3,7 @@ from vision_transformers_tpu.models.image_classification.cpe_vit import CPEViT
 from vision_transformers_tpu.models.image_classification.cpvt import CPVT, CPVTGAP
 from vision_transformers_tpu.models.image_classification.swin_transformer import (
     SwinTransformer,
+    SwinTransformerV2,
 )
 from vision_transformers_tpu.models.image_classification.pvt import PVT
 from vision_transformers_tpu.models.image_classification.twins_svt import TwinSVT

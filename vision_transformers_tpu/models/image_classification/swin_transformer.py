@@ -29,7 +29,9 @@ from vision_transformers_tpu.ops.layers import DropPath
 from vision_transformers_tpu.ops.mlp import MLPBlock
 from vision_transformers_tpu.ops.windows import (
     PatchMerging,
+    PatchMergingV2,
     ShiftedWindowAttention,
+    ShiftedWindowAttentionV2,
 )
 
 
@@ -66,6 +68,41 @@ class SwinTransformerBlock(nn.Module):
         return x + sd(y, deterministic=deterministic)
 
 
+class SwinTransformerBlockV2(nn.Module):
+    """SwinV2 post-norm block: x + SD(LN(attn(x))); x + SD(LN(mlp(x)))
+    (torchvision SwinTransformerBlockV2). The reference registers
+    ``swinv2_*`` presets with no model behind them (utils/args.py:29-41,
+    SURVEY §2.9.9) — this completes the intent."""
+
+    dim: int
+    num_heads: int
+    window_size: Sequence[int]
+    shift_size: Sequence[int]
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    stochastic_depth_prob: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        sd = DropPath(self.stochastic_depth_prob, name="stochastic_depth")
+        y = ShiftedWindowAttentionV2(
+            self.dim, self.window_size, self.shift_size, self.num_heads,
+            attention_dropout=self.attention_dropout, dropout=self.dropout,
+            dtype=self.dtype, name="attn",
+        )(x, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(y)
+        x = x + sd(y, deterministic=deterministic)
+
+        y = MLPBlock(
+            int(self.dim * self.mlp_ratio), dropout=self.dropout,
+            dtype=self.dtype, name="mlp",
+        )(x, deterministic=deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        return x + sd(y, deterministic=deterministic)
+
+
 class SwinTransformer(nn.Module, TrainableModel):
     patch_size: List[int]
     embed_dim: int
@@ -78,6 +115,7 @@ class SwinTransformer(nn.Module, TrainableModel):
     stochastic_depth_prob: float = 0.1
     num_classes: int = 100
     image_size: Optional[int] = None  # accepted for get_args compatibility
+    v2: bool = False  # SwinV2: cosine attention + CPB-MLP + post-norm
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -90,6 +128,8 @@ class SwinTransformer(nn.Module, TrainableModel):
         )(images)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
+        block_cls = SwinTransformerBlockV2 if self.v2 else SwinTransformerBlock
+        merge_cls = PatchMergingV2 if self.v2 else PatchMerging
         total_blocks = sum(self.depths)
         block_id = 0
         for i_stage, depth in enumerate(self.depths):
@@ -102,7 +142,7 @@ class SwinTransformer(nn.Module, TrainableModel):
                 shift = [
                     0 if i_layer % 2 == 0 else w // 2 for w in self.window_size
                 ]
-                x = SwinTransformerBlock(
+                x = block_cls(
                     dim, self.num_heads[i_stage],
                     window_size=self.window_size, shift_size=shift,
                     mlp_ratio=self.mlp_ratio, dropout=self.dropout,
@@ -112,7 +152,7 @@ class SwinTransformer(nn.Module, TrainableModel):
                 )(x, deterministic=deterministic)
                 block_id += 1
             if i_stage < len(self.depths) - 1:
-                x = PatchMerging(dtype=self.dtype, name=f"merge{i_stage}")(x)
+                x = merge_cls(dtype=self.dtype, name=f"merge{i_stage}")(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool over H, W
@@ -121,6 +161,14 @@ class SwinTransformer(nn.Module, TrainableModel):
             kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
             dtype=self.dtype, name="head",
         )(x)
+
+
+class SwinTransformerV2(SwinTransformer):
+    """SwinV2 (cosine attention, continuous position bias MLP, post-norm,
+    PatchMergingV2). Fills the reference's ``swinv2_*`` preset names
+    (utils/args.py:29-41) that had no model behind them."""
+
+    v2: bool = True
 
 
 if __name__ == "__main__":

@@ -113,8 +113,15 @@ def shifted_window_attention(
     deterministic: bool = True,
     dropout_rng=None,
     mask_padding: bool = False,
+    logit_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Functional core on (B, H, W, C) feature maps."""
+    """Functional core on (B, H, W, C) feature maps.
+
+    ``logit_scale`` (num_heads, 1, 1) switches to SwinV2 cosine attention
+    (torchvision V2 semantics): q and k are L2-normalized along the head
+    dim and scores scaled by exp(min(logit_scale, log 100)) per head. The
+    per-head scale folds into q, so the scaled dot rides the same Pallas
+    kernel with scale=1."""
     b, h, w, c = x.shape
     wh, ww = window_size
     pad_b = (wh - h % wh) % wh
@@ -142,6 +149,24 @@ def shifted_window_attention(
     qkv = qkv.reshape(g, n, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B·nW, nH, N, dh)
 
+    scale = None
+    if logit_scale is not None:
+        # Cosine attention: normalize, then bake the clamped per-head
+        # temperature into q so the downstream kernel sees a plain dot.
+        # x·rsqrt(Σx²+ε) — NOT x/max(‖x‖,ε), whose backward is NaN at
+        # x=0 (and window padding makes exact-zero q/k rows whenever the
+        # feature map is smaller than the window, e.g. the last stage of
+        # a 32px Swin: d‖x‖/dx = x/‖x‖ is 0/0 there).
+        def _l2n(t):
+            t32 = t.astype(jnp.float32)
+            sumsq = jnp.sum(t32 * t32, axis=-1, keepdims=True)
+            return (t32 * jax.lax.rsqrt(sumsq + 1e-12)).astype(t.dtype)
+
+        q, k = _l2n(q), _l2n(k)
+        temp = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0)))
+        q = q * temp[None].astype(q.dtype)  # (1, nH, 1, 1) over (g, nH, N, dh)
+        scale = 1.0
+
     # Combined additive bias: relative-position bias (shared by all windows)
     # + per-window shift mask (shared by batch and heads). Shape (nW', nH,
     # N, N) with nW' ∈ {1, n_win}; the kernel broadcasts over batch via its
@@ -166,7 +191,7 @@ def shifted_window_attention(
 
     drop = 0.0 if deterministic else attention_dropout
     out = dot_product_attention(
-        q, k, v, bias=bias,
+        q, k, v, bias=bias, scale=scale,
         dropout_rate=drop, dropout_rng=dropout_rng,
     )
     out = out.transpose(0, 2, 1, 3).reshape(g, n, c)
@@ -240,6 +265,105 @@ class ShiftedWindowAttention(nn.Module):
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
+def relative_coords_table(wh: int, ww: int) -> np.ndarray:
+    """Static (1, 2wh-1, 2ww-1, 2) log-spaced normalized coordinate table
+    for the SwinV2 continuous position bias (torchvision
+    ShiftedWindowAttentionV2 semantics): coords/(win-1) scaled to ±8, then
+    sign(x)·log2(|x|+1)/3."""
+    ch = np.arange(-(wh - 1), wh, dtype=np.float32)
+    cw = np.arange(-(ww - 1), ww, dtype=np.float32)
+    table = np.stack(np.meshgrid(ch, cw, indexing="ij"))  # (2, 2wh-1, 2ww-1)
+    table = table.transpose(1, 2, 0)[None]
+    if wh > 1:
+        table[:, :, :, 0] /= wh - 1
+    if ww > 1:
+        table[:, :, :, 1] /= ww - 1
+    table *= 8
+    return np.sign(table) * np.log2(np.abs(table) + 1.0) / 3.0
+
+
+class ShiftedWindowAttentionV2(nn.Module):
+    """SwinV2 windowed attention: cosine similarity with a learned
+    per-head temperature (clamped at 100) and a continuous relative
+    position bias from a 2→512→nH MLP over log-spaced coordinates,
+    squashed to (0, 16) by 16·sigmoid. The reference registers
+    ``swinv2_*`` preset names but never implements the model
+    (utils/args.py:29-41 — SURVEY §2.9.9); this completes the intent
+    with torchvision-V2 math. Per V2, the k projection carries no bias."""
+
+    dim: int
+    window_size: Sequence[int]
+    shift_size: Sequence[int]
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    attention_dropout: float = 0.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        wh, ww = self.window_size
+        n = wh * ww
+
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, jnp.log(10.0)),
+            (self.num_heads, 1, 1),
+        )
+        # CPB path stays fp32 whatever the model dtype: the log-spaced
+        # coords and the tiny 2→512→nH MLP are precision-sensitive and
+        # cost nothing at (2wh-1)(2ww-1) rows.
+        coords = jnp.asarray(relative_coords_table(wh, ww), jnp.float32)
+        hidden = nn.Dense(
+            512, kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
+            dtype=jnp.float32, name="cpb_fc1",
+        )(coords)
+        bias_table = nn.Dense(
+            self.num_heads, use_bias=False,
+            kernel_init=trunc_normal_init(0.02),
+            dtype=jnp.float32, name="cpb_fc2",
+        )(nn.relu(hidden)).reshape(-1, self.num_heads)
+        idx = relative_position_index(wh, ww)
+        rel_bias = bias_table[idx].reshape(n, n, self.num_heads)
+        rel_bias = 16.0 * jax.nn.sigmoid(rel_bias.transpose(2, 0, 1))
+
+        qkv_kernel = self.param(
+            "qkv_kernel", trunc_normal_init(0.02), (self.dim, 3 * self.dim)
+        )
+        if self.qkv_bias:
+            # q and v biases are learned; the k bias is identically zero
+            q_b = self.param("q_bias", zeros_init, (self.dim,))
+            v_b = self.param("v_bias", zeros_init, (self.dim,))
+            qkv_b = jnp.concatenate([q_b, jnp.zeros_like(q_b), v_b])
+        else:
+            qkv_b = None
+        proj_kernel = self.param(
+            "proj_kernel", trunc_normal_init(0.02), (self.dim, self.dim)
+        )
+        proj_b = (
+            self.param("proj_bias", zeros_init, (self.dim,))
+            if self.proj_bias else None
+        )
+
+        rng = None
+        if not deterministic and self.attention_dropout > 0.0:
+            rng = self.make_rng("dropout")
+        out = shifted_window_attention(
+            x.astype(self.dtype),
+            qkv_kernel.astype(self.dtype),
+            None if qkv_b is None else qkv_b.astype(self.dtype),
+            proj_kernel.astype(self.dtype),
+            None if proj_b is None else proj_b.astype(self.dtype),
+            rel_bias,
+            self.window_size, self.num_heads, self.shift_size,
+            attention_dropout=self.attention_dropout,
+            deterministic=deterministic, dropout_rng=rng,
+            logit_scale=logit_scale,
+        )
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
 class PatchMerging(nn.Module):
     """2×2 space-to-depth → LN(4C) → Linear(4C→2C)
     (swin_transformer.py:136-151); input (B, H, W, C), NHWC."""
@@ -261,3 +385,26 @@ class PatchMerging(nn.Module):
             kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
             dtype=self.dtype, name="reduction",
         )(x)
+
+
+class PatchMergingV2(nn.Module):
+    """SwinV2 merge order: 2×2 space-to-depth → Linear(4C→2C) → LN(2C)
+    (norm moves after the reduction, torchvision PatchMergingV2)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.Dense(
+            2 * c,
+            kernel_init=trunc_normal_init(0.02), bias_init=zeros_init,
+            dtype=self.dtype, name="reduction",
+        )(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
