@@ -308,3 +308,42 @@ def test_port_swin_v2_attention_params():
     np.testing.assert_array_equal(np.asarray(attn["v_bias"]), qkv_b[2 * dim:])
     out = model.apply({"params": params}, x)
     assert out.shape == (2, 10) and bool(jnp.all(jnp.isfinite(out)))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-file loading (the CLI --init-from-torch path)
+
+
+def test_load_torch_checkpoint_file(tmp_path):
+    from vision_transformers_tpu.models.image_classification import ViT
+    from vision_transformers_tpu.utils.port_torch import load_torch_checkpoint
+
+    tm = RefViT(32, 8, 1, 2, 32, 64, 10).eval()
+    path = tmp_path / "vit.pt"
+    # common trainer wrapper: {'state_dict': ...}
+    torch.save({"state_dict": tm.state_dict()}, path)
+    params = load_torch_checkpoint(str(path), "vit_tiny_cifar10",
+                                   {"image_size": 32})
+
+    x = np.random.RandomState(0).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x)).numpy()
+    model = ViT(image_size=32, patch_size=8, num_layers=1, num_heads=2,
+                hidden_dim=32, mlp_dim=64, num_classes=10)
+    out = model.apply({"params": params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_load_torch_checkpoint_npz_and_swin_routing(tmp_path):
+    from vision_transformers_tpu.utils.port_torch import load_torch_checkpoint
+
+    tm = TorchSwin(2, 16, [1, 1], [2, 2], (4, 4), 10).eval()
+    path = tmp_path / "swin.npz"
+    np.savez(path, **{k: v.numpy() for k, v in tm.state_dict().items()})
+    params = load_torch_checkpoint(str(path), "swin_tiny_cifar10",
+                                   {"depths": [1, 1]})
+    assert "stage1_block0" in params and "merge0" in params
+
+    with pytest.raises(ValueError, match="no torch porting rule"):
+        load_torch_checkpoint(str(path), "tnt_base_cifar10", {})

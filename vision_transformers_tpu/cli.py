@@ -52,7 +52,8 @@ def run_reference_main(model_name: str, epochs: int = 100,
                        batch_size: int = 256, val_split: float = 0.2,
                        num_workers: int = 4, data_root: str = "./data",
                        lr: float = 1e-4, on_device: bool = False,
-                       bf16: bool = False, **fit_kwargs):
+                       bf16: bool = False,
+                       init_from_torch: Optional[str] = None, **fit_kwargs):
     """The reference's per-model __main__ recipe (vanilla_vit.py:311-324):
     loaders → args → model → train_model. ``on_device=True`` (CIFAR only)
     uses the device-resident epoch path (training.device_data)."""
@@ -87,6 +88,23 @@ def run_reference_main(model_name: str, epochs: int = 100,
             "DeiT.train_model_with_distillation(...) directly")
     model = cls(**args)
     print(model)
+    if init_from_torch:
+        # continue training from a torch reference checkpoint
+        import jax
+        import jax.numpy as jnp
+
+        from vision_transformers_tpu.training.trainer import make_train_state
+        from vision_transformers_tpu.utils.port_torch import (
+            load_torch_checkpoint,
+        )
+
+        params = load_torch_checkpoint(init_from_torch, model_name, args)
+        img = args.get("image_size") or 32
+        state = make_train_state(
+            model, jax.random.PRNGKey(fit_kwargs.get("seed", 0)),
+            jnp.zeros((1, img, img, 3), jnp.float32), lr=lr,
+            optimizer=fit_kwargs.get("optimizer", "adam"))
+        fit_kwargs["state"] = state.replace(params=params)
     if on_device and dataset.lower().startswith("cifar"):
         import numpy as np
 
@@ -154,8 +172,11 @@ def main(argv: Optional[list] = None):
                    help="bfloat16 compute (fp32 master weights)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="batches per device dispatch (host-loader path)")
+    p.add_argument("--init-from-torch", default=None, metavar="CKPT",
+                   help="torch reference state_dict (.pt/.npz) to port and "
+                        "continue training from (utils/port_torch.py)")
     a = p.parse_args(argv)
-    extra = {"bf16": a.bf16}
+    extra = {"bf16": a.bf16, "init_from_torch": a.init_from_torch}
     if a.on_device:
         extra["on_device"] = True
     else:

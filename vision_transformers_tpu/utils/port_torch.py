@@ -65,6 +65,37 @@ def port_patchify_conv(weight: Any) -> np.ndarray:
     return w.transpose(2, 3, 1, 0).reshape(-1, d)
 
 
+def load_torch_checkpoint(path: str, model_name: str,
+                          model_args: Mapping[str, Any]) -> Dict:
+    """Load a reference torch checkpoint file and port it for the model the
+    args-registry key names (``vit_*`` family or ``swin_*`` incl. v2).
+
+    Accepts a ``torch.save``d state_dict (or a dict with a 'state_dict' /
+    'model' entry, the common trainer wrappers) or a numpy ``.npz`` of the
+    same keys."""
+    if path.endswith(".npz"):
+        sd: Mapping[str, Any] = dict(np.load(path))
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        for wrapper in ("state_dict", "model"):
+            if wrapper in sd and isinstance(sd[wrapper], dict):
+                sd = sd[wrapper]
+                break
+
+    parts = model_name.lower().split("_")
+    family = parts[0]
+    if family == "swin":
+        v2 = len(parts) > 1 and parts[1].endswith("v2")
+        return port_swin_state_dict(sd, model_args["depths"], v2=v2)
+    if family in ("vit", "vitb16", "vitl16", "vitti16"):
+        return port_vit_state_dict(sd)
+    raise ValueError(
+        f"no torch porting rule for model family {family!r} — supported: "
+        "vit*, swin* (see port_vit_state_dict / port_swin_state_dict)")
+
+
 def _get(sd: Mapping[str, Any], key: str) -> Any:
     if key not in sd:
         raise KeyError(
