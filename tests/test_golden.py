@@ -13,8 +13,8 @@ import numpy as np
 import pytest
 
 from vision_transformers_tpu.models.image_classification import (
-    ViT, CPEViT, CPVT, CPVTGAP, DeiT, PVT, SwinTransformer, T2T_ViT, TNT,
-    TwinSVT,
+    ViT, CPEViT, CPVT, CPVTGAP, DeiT, PVT, SwinTransformer, SwinTransformerV2,
+    T2T_ViT, TNT, TwinSVT,
 )
 
 _SMALL = dict(num_layers=2, num_heads=2, hidden_dim=32, mlp_dim=64,
@@ -36,6 +36,9 @@ def _models():
         "SwinTransformer": SwinTransformer(
             patch_size=[2, 2], embed_dim=16, depths=[1, 1], num_heads=[2, 2],
             window_size=[4, 4], num_classes=7),
+        "SwinTransformerV2": SwinTransformerV2(
+            patch_size=[2, 2], embed_dim=16, depths=[1, 1], num_heads=[2, 2],
+            window_size=[4, 4], num_classes=7),
         "T2T_ViT": T2T_ViT(image_size=32, patch_size=4, num_layers=2,
                            num_heads=2, hidden_dim=32, mlp_dim=64,
                            num_classes=7, token_dim=16),
@@ -53,6 +56,7 @@ def _models():
 GOLDEN_LOGITS = {
     "PVT": (-0.740849, 1.179668, 0.084750),
     "SwinTransformer": (0.068240, 0.729458, 0.070241),
+    "SwinTransformerV2": (-0.756190, 1.191905, 0.077017),
     "TNT": (-0.983049, 1.134418, 0.076253),
     "TwinSVT": (-0.534589, 1.369516, 0.102936),
 }
