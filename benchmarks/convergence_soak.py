@@ -1,0 +1,121 @@
+"""Long-horizon convergence soak on the reference training recipe.
+
+The reference's only published accuracy numbers are 100-epoch CIFAR-100
+runs recorded as code comments (BASELINE.md; e.g. vanilla_vit.py:312-314).
+No CIFAR data exists in this environment, so those anchors cannot be
+re-measured directly; this soak is the strongest available stand-in
+(VERDICT r1 "what's missing" #1): run the SAME recipe — Adam lr=1e-4,
+batch 256, random-crop(4)+hflip+brightness augmentation, dropout 0.1,
+100 epochs — on a 100-class procedurally generated 50k/10k dataset of
+CIFAR shape and difficulty, for several model families, on the real TPU,
+and record the full per-epoch curves.
+
+What it demonstrates: the training stack (device-resident epochs, Pallas
+kernels incl. in-kernel attention dropout, DropPath schedules, Adam) is
+stable over the full 100-epoch horizon — no divergence, no NaN, train
+accuracy saturates while test accuracy plateaus (generalization-gap shape
+matching the reference's recorded runs).
+
+Writes benchmarks/convergence_r02.json. Run: python benchmarks/convergence_soak.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_procedural_dataset(n_train=50_000, n_test=10_000, classes=100,
+                            size=32, seed=0):
+    """CIFAR-shaped 100-class task: each class is a random low-res texture
+    (upsampled 8x8 pattern) + base color; samples get random shifts,
+    per-pixel noise, and brightness jitter, so the task needs spatial
+    feature learning (not just color pooling) but stays learnable."""
+    rng = np.random.RandomState(seed)
+    n = n_train + n_test
+    labels = rng.randint(0, classes, n).astype(np.int32)
+
+    patterns = rng.randint(0, 255, (classes, 8, 8, 3)).astype(np.float32)
+    colors = rng.randint(0, 255, (classes, 1, 1, 3)).astype(np.float32)
+
+    up = np.repeat(np.repeat(patterns, size // 8, axis=1), size // 8, axis=2)
+    base = 0.6 * up + 0.4 * colors  # (classes, size, size, 3)
+
+    imgs = base[labels]
+    # random per-sample roll (translation invariance pressure)
+    shifts = rng.randint(-4, 5, (n, 2))
+    for axis in (0, 1):
+        uniq = np.unique(shifts[:, axis])
+        for s in uniq:
+            idx = shifts[:, axis] == s
+            imgs[idx] = np.roll(imgs[idx], s, axis=axis + 1)
+    imgs += rng.normal(0, 24, imgs.shape)
+    imgs *= rng.uniform(0.8, 1.2, (n, 1, 1, 1))
+    imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+    return ((imgs[:n_train], labels[:n_train]),
+            (imgs[n_train:], labels[n_train:]))
+
+
+def main():
+    from vision_transformers_tpu.cli import _model_for
+    from vision_transformers_tpu.training.device_data import fit_on_device
+    from vision_transformers_tpu.utils.args import get_args
+
+    epochs = int(os.environ.get("SOAK_EPOCHS", "100"))
+    train, test = make_procedural_dataset()
+    normalize = ((0.5071, 0.4865, 0.4409), (0.2673, 0.2564, 0.2762))
+
+    results = {"recipe": {
+        "optimizer": "adam", "lr": 1e-4, "batch": 256, "epochs": epochs,
+        "augment": "crop4+hflip+brightness (reference load_data.py:52)",
+        "dataset": "procedural 100-class 50k/10k 32px (see module docstring)",
+    }, "runs": {}}
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "convergence_r02.json")
+    for preset in ("vit_tiny_cifar100", "swin_tiny_cifar100",
+                   "cpvt_tiny_cifar100"):
+        try:
+            args = get_args(preset)
+        except KeyError:
+            # CPVT/CPE-ViT/T2T reuse the vit_tiny preset in the reference
+            # __main__ blocks (cpvt.py:283-291)
+            args = get_args("vit_tiny_cifar100")
+        model = _model_for(preset)(**args)
+        t0 = time.time()
+        hist = fit_on_device(
+            model, train, test, epochs,
+            batch_size=256, normalize=normalize, augment=True,
+            lr=1e-4, optimizer="adam", seed=0, verbose=False)
+        wall = time.time() - t0
+        run = {
+            "wall_s": round(wall, 1),
+            "epochs": epochs,
+            "train_loss": [round(float(v), 4) for v in hist["train_loss"]],
+            "train_accuracy": [round(float(v), 4)
+                               for v in hist["train_accuracy"]],
+            "test_loss": [round(float(v), 4) for v in hist["test_loss"]],
+            "test_accuracy": [round(float(v), 4)
+                              for v in hist["test_accuracy"]],
+        }
+        finite = all(np.isfinite(hist["train_loss"]))
+        run["stable"] = bool(finite)
+        results["runs"][preset] = run
+        print(f"{preset}: {epochs} epochs in {wall:.0f}s — "
+              f"train acc {run['train_accuracy'][-1]:.3f}, "
+              f"test acc {run['test_accuracy'][-1]:.3f}, "
+              f"final loss {run['train_loss'][-1]:.4f}, stable={finite}",
+              flush=True)
+        with open(out, "w") as f:  # incremental: a crash keeps prior runs
+            json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
