@@ -13,3 +13,7 @@ from vision_transformers_tpu.parallel.distributed import (
     all_gather_objects,
     save_on_master,
 )
+from vision_transformers_tpu.parallel.sequence import (
+    ring_attention_local,
+    sequence_parallel_attention,
+)
