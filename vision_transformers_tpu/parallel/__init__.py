@@ -17,3 +17,7 @@ from vision_transformers_tpu.parallel.sequence import (
     ring_attention_local,
     sequence_parallel_attention,
 )
+from vision_transformers_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_local,
+)
