@@ -29,7 +29,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -158,7 +157,6 @@ def bench_chain(name, layer_fn, x, w):
         out = chained(x, w)
     float(jnp.sum(out.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / ITERS / LAYERS * 1e3
-    ips = B / ((time.perf_counter() - t0) / ITERS) * 0  # unused
     print(f"{name:>22}: {dt:7.3f} ms/layer "
           f"({dt * LAYERS:6.1f} ms / {LAYERS} layers)")
     return dt

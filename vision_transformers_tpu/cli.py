@@ -22,9 +22,10 @@ def _model_for(name: str):
     """Map an args-registry key like 'swin_tiny_cifar100' to a model class."""
     from vision_transformers_tpu.models import image_classification as ic
 
-    parts = name.lower().split("_")
-    family = parts[0]
-    if family == "swin" and len(parts) > 1 and parts[1].endswith("v2"):
+    from vision_transformers_tpu.utils.port_torch import parse_model_key
+
+    family, swin_v2 = parse_model_key(name)
+    if swin_v2:
         # the reference registers swin_*v2 preset names with no model
         # behind them (utils/args.py:29-41); route them to the real SwinV2
         return ic.SwinTransformerV2

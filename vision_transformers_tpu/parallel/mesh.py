@@ -97,3 +97,20 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: the new ``jax.shard_map`` takes
+    ``check_vma``; the pre-0.8 ``jax.experimental.shard_map`` took
+    ``check_rep``. Both checks are disabled — ring/pipeline bodies carry
+    scan state whose varying-axis types the checker can't infer."""
+    try:
+        from jax import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)

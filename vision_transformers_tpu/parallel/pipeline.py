@@ -102,12 +102,7 @@ def pipeline_apply(
     assert b % n_micro == 0, (b, n_micro)
     micro = x.reshape((n_micro, b // n_micro) + x.shape[1:])
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-    other = [ax for ax in mesh.axis_names if ax != stage_axis]
+    from vision_transformers_tpu.parallel.mesh import shard_map_compat
 
     def body(params, mb):
         # params arrive with the leading stage dim sharded to size 1
@@ -120,10 +115,8 @@ def pipeline_apply(
 
     param_specs = jax.tree_util.tree_map(
         lambda _: P(stage_axis), stacked_params)
-    fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(param_specs, P(*([None] * (micro.ndim)))),
-        out_specs=P(*([None] * micro.ndim)),
-        check_vma=False)
+    fn = shard_map_compat(
+        body, mesh, (param_specs, P(*([None] * micro.ndim))),
+        P(*([None] * micro.ndim)))
     outs = fn(stacked_params, micro)
     return outs.reshape((b,) + x.shape[1:])

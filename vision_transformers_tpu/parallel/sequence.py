@@ -104,28 +104,23 @@ def sequence_parallel_attention(
 ) -> jax.Array:
     """Standalone sequence-parallel attention over ``mesh``.
 
-    q, k, v: (B, H, S, D) global arrays; S must divide the ``seq_axis``
-    size (pad + kv_mask for ragged). ``data_axis`` additionally shards the
-    batch. Output is (B, H, S, D), sequence-sharded like the inputs.
+    q, k, v: (B, H, S, D) global arrays; the ``seq_axis`` size must
+    divide S (pad + kv_mask for ragged). ``data_axis`` additionally shards
+    the batch. Output is (B, H, S, D), sequence-sharded like the inputs.
     """
     d_ax = data_axis if data_axis is not None else None
     qkv_spec = P(d_ax, None, seq_axis, None)
     mask_spec = P(d_ax, seq_axis) if kv_mask is not None else None
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from vision_transformers_tpu.parallel.mesh import shard_map_compat
 
     body = partial(ring_attention_local, axis_name=seq_axis, scale=scale)
     if kv_mask is not None:
-        fn = shard_map(
+        fn = shard_map_compat(
             lambda q, k, v, mk: body(q, k, v, kv_mask=mk),
-            mesh=mesh, in_specs=(qkv_spec,) * 3 + (mask_spec,),
-            out_specs=qkv_spec, check_vma=False)
+            mesh, (qkv_spec,) * 3 + (mask_spec,), qkv_spec)
         return fn(q, k, v, kv_mask)
-    fn = shard_map(
+    fn = shard_map_compat(
         lambda q, k, v: body(q, k, v, kv_mask=None),
-        mesh=mesh, in_specs=(qkv_spec,) * 3,
-        out_specs=qkv_spec, check_vma=False)
+        mesh, (qkv_spec,) * 3, qkv_spec)
     return fn(q, k, v)

@@ -65,6 +65,17 @@ def port_patchify_conv(weight: Any) -> np.ndarray:
     return w.transpose(2, 3, 1, 0).reshape(-1, d)
 
 
+def parse_model_key(name: str):
+    """args-registry key → (family, is_swin_v2). The single source of
+    truth for the family / swin-v2 routing shared by the CLI's
+    ``_model_for`` and ``load_torch_checkpoint`` (the reference registers
+    swin_*v2 preset names, utils/args.py:29-41)."""
+    parts = name.lower().split("_")
+    family = parts[0]
+    v2 = family == "swin" and len(parts) > 1 and parts[1].endswith("v2")
+    return family, v2
+
+
 def load_torch_checkpoint(path: str, model_name: str,
                           model_args: Mapping[str, Any]) -> Dict:
     """Load a reference torch checkpoint file and port it for the model the
@@ -84,10 +95,8 @@ def load_torch_checkpoint(path: str, model_name: str,
                 sd = sd[wrapper]
                 break
 
-    parts = model_name.lower().split("_")
-    family = parts[0]
+    family, v2 = parse_model_key(model_name)
     if family == "swin":
-        v2 = len(parts) > 1 and parts[1].endswith("v2")
         return port_swin_state_dict(sd, model_args["depths"], v2=v2)
     if family in ("vit", "vitb16", "vitl16", "vitti16"):
         return port_vit_state_dict(sd)
@@ -120,10 +129,17 @@ def port_vit_state_dict(state_dict: Mapping[str, Any],
     """
     sd = dict(state_dict)
     if num_layers is None:
-        num_layers = 1 + max(
+        layer_ids = [
             int(k.split("encoder_layer_")[1].split(".")[0])
             for k in sd if "encoder_layer_" in k
-        )
+        ]
+        if not layer_ids:
+            raise KeyError(
+                "checkpoint has no 'encoder.layers.encoder_layer_*' keys — "
+                f"not a reference-layout ViT state_dict? ({len(sd)} keys, "
+                f"e.g. {sorted(sd)[:3]})"
+            )
+        num_layers = 1 + max(layer_ids)
 
     encoder: Dict[str, Any] = {
         "pos_embedding": _np(_get(sd, "encoder.pos_embedding")),
