@@ -21,3 +21,7 @@ from vision_transformers_tpu.parallel.pipeline import (
     pipeline_apply,
     pipeline_local,
 )
+from vision_transformers_tpu.parallel.expert import (
+    expert_parallel_mlp,
+    moe_mlp_reference,
+)
