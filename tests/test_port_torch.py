@@ -347,3 +347,129 @@ def test_load_torch_checkpoint_npz_and_swin_routing(tmp_path):
 
     with pytest.raises(ValueError, match="no torch porting rule"):
         load_torch_checkpoint(str(path), "tnt_base_cifar10", {})
+
+
+# ---------------------------------------------------------------------------
+# DETR ResNet-50 backbone (torchvision layout, FrozenBatchNorm semantics)
+
+
+class TorchBottleneck(torch.nn.Module):
+    """torchvision Bottleneck with the DETR dilation semantics (prev
+    dilation on the first block of a dilated stage)."""
+
+    def __init__(self, cin, planes, stride=1, dilation=1, downsample=False):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, stride=stride,
+                                     padding=dilation, dilation=dilation,
+                                     bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if downsample:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, planes * 4, 1, stride=stride,
+                                bias=False),
+                torch.nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + idn)
+
+
+class TorchResNet50(torch.nn.Module):
+    """torchvision resnet50 naming, DETR config (dilation in layer4)."""
+
+    def __init__(self, stage_sizes=(3, 4, 6, 3),
+                 replace_stride_with_dilation=(False, False, True)):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                     bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.maxpool = torch.nn.MaxPool2d(3, stride=2, padding=1)
+        cin, dilation = 64, 1
+        for stage, blocks in enumerate(stage_sizes, start=1):
+            planes = 64 * 2 ** (stage - 1)
+            stride = 1 if stage == 1 else 2
+            prev = dilation
+            if stage > 1 and replace_stride_with_dilation[stage - 2]:
+                dilation *= stride
+                stride = 1
+            layer = []
+            for i in range(blocks):
+                layer.append(TorchBottleneck(
+                    cin, planes, stride=stride if i == 0 else 1,
+                    dilation=prev if i == 0 else dilation,
+                    downsample=i == 0))
+                cin = planes * 4
+            setattr(self, f"layer{stage}", torch.nn.Sequential(*layer))
+
+    def forward(self, x):
+        y = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        outs = {}
+        for s in (1, 2, 3, 4):
+            y = getattr(self, f"layer{s}")(y)
+            outs[str(s - 1)] = y
+        return outs
+
+
+def _randomize_bn_stats(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * .1)
+            m.running_var.copy_(
+                torch.rand(m.num_features, generator=g) * .5 + .5)
+            m.weight.data.copy_(torch.randn(m.num_features, generator=g) * .1
+                                + 1)
+            m.bias.data.copy_(torch.randn(m.num_features, generator=g) * .1)
+
+
+def test_port_resnet50_backbone_feature_parity():
+    from vision_transformers_tpu.models.object_detection.backbone import (
+        ResNet,
+    )
+    from vision_transformers_tpu.utils.port_torch import (
+        port_resnet50_state_dict,
+    )
+
+    # tiny stage sizes keep the test fast; layer4 gets TWO blocks so the
+    # dilated stage exercises both the prev-dilation first block and the
+    # doubled-dilation second block (the advisor-flagged torchvision
+    # semantics, backbone.py:118-125)
+    sizes = (1, 1, 1, 2)
+    tm = TorchResNet50(stage_sizes=sizes).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm)
+
+    x = np.random.RandomState(0).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = {k: v.numpy() for k, v in tm(torch.tensor(x)).items()}
+
+    params = port_resnet50_state_dict(tm.state_dict(), stage_sizes=sizes)
+    model = ResNet(stage_sizes=sizes, norm="frozen_bn")
+    outs = model.apply({"params": params},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for key, r in ref.items():
+        got = np.asarray(outs[key]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, r, rtol=1e-3, atol=1e-3,
+                                   err_msg=f"tap {key}")
+
+
+def test_port_resnet50_strips_detr_prefix():
+    from vision_transformers_tpu.utils.port_torch import (
+        port_resnet50_state_dict,
+    )
+
+    sizes = (1, 1, 1, 1)
+    tm = TorchResNet50(stage_sizes=sizes).eval()
+    sd = {f"backbone.0.body.{k}": v for k, v in tm.state_dict().items()}
+    sd["class_embed.weight"] = torch.zeros(1)  # non-backbone key, ignored
+    params = port_resnet50_state_dict(sd, stage_sizes=sizes)
+    assert "layer4_block0" in params
+    assert "down_conv" in params["layer2_block0"]

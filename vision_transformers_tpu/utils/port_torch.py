@@ -65,6 +65,55 @@ def port_patchify_conv(weight: Any) -> np.ndarray:
     return w.transpose(2, 3, 1, 0).reshape(-1, d)
 
 
+def _strip_prefix(sd: Mapping[str, Any], prefixes=("backbone.0.body.",
+                                                   "body.", "module.")):
+    """Drop a common wrapper prefix (facebook-DETR nests the ResNet under
+    ``backbone.0.body.``; DDP training saves under ``module.``)."""
+    for pre in prefixes:
+        if any(k.startswith(pre) for k in sd):
+            return {k[len(pre):]: v for k, v in sd.items()
+                    if k.startswith(pre)}
+    return dict(sd)
+
+
+def _port_frozen_bn(sd: Mapping[str, Any], p: str) -> Dict[str, np.ndarray]:
+    """torch BatchNorm2d buffers → our FrozenBatchNorm params
+    (backbone.py:31-46: scale/bias/mean/var)."""
+    return {
+        "scale": _np(_get(sd, f"{p}.weight")),
+        "bias": _np(_get(sd, f"{p}.bias")),
+        "mean": _np(_get(sd, f"{p}.running_mean")),
+        "var": _np(_get(sd, f"{p}.running_var")),
+    }
+
+
+def port_resnet50_state_dict(state_dict: Mapping[str, Any],
+                             stage_sizes=(3, 4, 6, 3)) -> Dict:
+    """torchvision ``resnet50`` ``state_dict`` (or the ResNet nested in a
+    facebook-DETR checkpoint under ``backbone.0.body.``) → flax params for
+    our DETR ``ResNet`` backbone (backbone.py:91-135, FrozenBatchNorm
+    semantics). The classifier ``fc.*`` keys are ignored."""
+    sd = _strip_prefix(state_dict)
+    params: Dict[str, Any] = {
+        "conv1": {"kernel": port_conv_nchw(_get(sd, "conv1.weight"))},
+        "bn1": _port_frozen_bn(sd, "bn1"),
+    }
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        for i in range(blocks):
+            p = f"layer{stage}.{i}"
+            blk: Dict[str, Any] = {}
+            for c in (1, 2, 3):
+                blk[f"conv{c}"] = {
+                    "kernel": port_conv_nchw(_get(sd, f"{p}.conv{c}.weight"))}
+                blk[f"bn{c}"] = _port_frozen_bn(sd, f"{p}.bn{c}")
+            if f"{p}.downsample.0.weight" in sd:
+                blk["down_conv"] = {
+                    "kernel": port_conv_nchw(sd[f"{p}.downsample.0.weight"])}
+                blk["down_bn"] = _port_frozen_bn(sd, f"{p}.downsample.1")
+            params[f"layer{stage}_block{i}"] = blk
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
 def parse_model_key(name: str):
     """args-registry key → (family, is_swin_v2). The single source of
     truth for the family / swin-v2 routing shared by the CLI's
