@@ -473,3 +473,88 @@ def test_port_resnet50_strips_detr_prefix():
     params = port_resnet50_state_dict(sd, stage_sizes=sizes)
     assert "layer4_block0" in params
     assert "down_conv" in params["layer2_block0"]
+
+
+# ---------------------------------------------------------------------------
+# Full facebook-DETR checkpoint layout
+
+
+def _fake_detr_state_dict(d=32, heads=4, enc=1, dec=1, ffn=64, classes=5,
+                          queries=4, stage_sizes=(1, 1, 1, 1), seed=0):
+    """Reference-named random DETR state_dict (facebook detr-r50 layout)."""
+    rng = np.random.RandomState(seed)
+    f = lambda *sh: rng.randn(*sh).astype(np.float32) * 0.1
+    sd = {}
+    body = TorchResNet50(stage_sizes=stage_sizes).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(body, seed=seed)
+    for k, v in body.state_dict().items():
+        sd[f"backbone.0.body.{k}"] = v.numpy()
+
+    def mha(p):
+        sd[f"{p}.in_proj_weight"] = f(3 * d, d)
+        sd[f"{p}.in_proj_bias"] = f(3 * d)
+        sd[f"{p}.out_proj.weight"] = f(d, d)
+        sd[f"{p}.out_proj.bias"] = f(d)
+
+    def layer(p, decoder):
+        mha(f"{p}.self_attn")
+        if decoder:
+            mha(f"{p}.multihead_attn")
+            sd[f"{p}.norm3.weight"] = np.ones(d, np.float32)
+            sd[f"{p}.norm3.bias"] = np.zeros(d, np.float32)
+        sd[f"{p}.linear1.weight"] = f(ffn, d)
+        sd[f"{p}.linear1.bias"] = f(ffn)
+        sd[f"{p}.linear2.weight"] = f(d, ffn)
+        sd[f"{p}.linear2.bias"] = f(d)
+        for n in ("norm1", "norm2"):
+            sd[f"{p}.{n}.weight"] = np.ones(d, np.float32)
+            sd[f"{p}.{n}.bias"] = np.zeros(d, np.float32)
+
+    for i in range(enc):
+        layer(f"transformer.encoder.layers.{i}", decoder=False)
+    for i in range(dec):
+        layer(f"transformer.decoder.layers.{i}", decoder=True)
+    sd["transformer.decoder.norm.weight"] = np.ones(d, np.float32)
+    sd["transformer.decoder.norm.bias"] = np.zeros(d, np.float32)
+    sd["input_proj.weight"] = f(d, 2048, 1, 1)
+    sd["input_proj.bias"] = f(d)
+    sd["query_embed.weight"] = f(queries, d)
+    sd["class_embed.weight"] = f(classes + 1, d)
+    sd["class_embed.bias"] = f(classes + 1)
+    for i, (i_dim, o_dim) in enumerate([(d, d), (d, d), (d, 4)]):
+        sd[f"bbox_embed.layers.{i}.weight"] = f(o_dim, i_dim)
+        sd[f"bbox_embed.layers.{i}.bias"] = f(o_dim)
+    return sd
+
+
+def test_port_detr_state_dict_structure_and_forward():
+    from vision_transformers_tpu.models.object_detection import Detr
+    from vision_transformers_tpu.utils.port_torch import port_detr_state_dict
+
+    # NOTE: structural + execution test. The transformer-layer MATH parity
+    # vs torch is pinned separately (test_torch_model_parity.py DETR
+    # enc/dec layers) and the backbone feature parity above; this asserts
+    # the name/transpose mapping produces a drop-in param tree.
+    sd = _fake_detr_state_dict(stage_sizes=(3, 4, 6, 3))
+    params = port_detr_state_dict(sd)
+
+    model = Detr(num_classes=5, num_queries=4, hidden_dim=32, nheads=4,
+                 num_encoder_layers=1, num_decoder_layers=1,
+                 dim_feedforward=64, dropout=0.0, backbone_norm="frozen_bn")
+    x = jnp.zeros((1, 64, 64, 3))
+    mask = jnp.zeros((1, 64, 64), bool)
+    init = model.init({"params": jax.random.PRNGKey(0)}, x, mask)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(init))
+    # spot-check the packed-MHA split + transpose
+    enc0 = params["transformer"]["encoder"]["layer0"]["self_attn"]
+    w = sd["transformer.encoder.layers.0.self_attn.in_proj_weight"]
+    np.testing.assert_array_equal(np.asarray(enc0["q_proj"]["kernel"]),
+                                  w[:32].T)
+    np.testing.assert_array_equal(np.asarray(enc0["v_proj"]["kernel"]),
+                                  w[64:].T)
+    out = model.apply({"params": params}, x, mask)
+    assert out["pred_logits"].shape == (1, 4, 6)
+    assert bool(jnp.all(jnp.isfinite(out["pred_logits"])))
+    assert bool(jnp.all(jnp.isfinite(out["pred_boxes"])))

@@ -88,12 +88,18 @@ def _port_frozen_bn(sd: Mapping[str, Any], p: str) -> Dict[str, np.ndarray]:
 
 
 def port_resnet50_state_dict(state_dict: Mapping[str, Any],
-                             stage_sizes=(3, 4, 6, 3)) -> Dict:
+                             stage_sizes=None) -> Dict:
     """torchvision ``resnet50`` ``state_dict`` (or the ResNet nested in a
     facebook-DETR checkpoint under ``backbone.0.body.``) → flax params for
     our DETR ``ResNet`` backbone (backbone.py:91-135, FrozenBatchNorm
-    semantics). The classifier ``fc.*`` keys are ignored."""
+    semantics). The classifier ``fc.*`` keys are ignored; ``stage_sizes``
+    defaults to what the checkpoint's ``layer{s}.{i}.`` keys imply."""
     sd = _strip_prefix(state_dict)
+    if stage_sizes is None:
+        stage_sizes = tuple(
+            1 + max(int(k.split(".")[1]) for k in sd
+                    if k.startswith(f"layer{s}."))
+            for s in (1, 2, 3, 4))
     params: Dict[str, Any] = {
         "conv1": {"kernel": port_conv_nchw(_get(sd, "conv1.weight"))},
         "bn1": _port_frozen_bn(sd, "bn1"),
@@ -111,6 +117,101 @@ def port_resnet50_state_dict(state_dict: Mapping[str, Any],
                     "kernel": port_conv_nchw(sd[f"{p}.downsample.0.weight"])}
                 blk["down_bn"] = _port_frozen_bn(sd, f"{p}.downsample.1")
             params[f"layer{stage}_block{i}"] = blk
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def _port_mha(sd: Mapping[str, Any], p: str) -> Dict:
+    """torch ``nn.MultiheadAttention`` (packed in_proj) → our separate
+    q/k/v/out projections (object_detection/transformer.py)."""
+    w = _np(_get(sd, f"{p}.in_proj_weight"))
+    b = _np(_get(sd, f"{p}.in_proj_bias"))
+    d = w.shape[0] // 3
+    return {
+        "q_proj": {"kernel": w[:d].T, "bias": b[:d]},
+        "k_proj": {"kernel": w[d:2 * d].T, "bias": b[d:2 * d]},
+        "v_proj": {"kernel": w[2 * d:].T, "bias": b[2 * d:]},
+        "out_proj": port_linear(
+            _get(sd, f"{p}.out_proj.weight"), _get(sd, f"{p}.out_proj.bias")),
+    }
+
+
+def _port_detr_layer(sd: Mapping[str, Any], p: str, decoder: bool) -> Dict:
+    layer = {
+        "self_attn": _port_mha(sd, f"{p}.self_attn"),
+        "linear1": port_linear(
+            _get(sd, f"{p}.linear1.weight"), _get(sd, f"{p}.linear1.bias")),
+        "linear2": port_linear(
+            _get(sd, f"{p}.linear2.weight"), _get(sd, f"{p}.linear2.bias")),
+        "norm1": port_layernorm(
+            _get(sd, f"{p}.norm1.weight"), _get(sd, f"{p}.norm1.bias")),
+        "norm2": port_layernorm(
+            _get(sd, f"{p}.norm2.weight"), _get(sd, f"{p}.norm2.bias")),
+    }
+    if decoder:
+        layer["multihead_attn"] = _port_mha(sd, f"{p}.multihead_attn")
+        layer["norm3"] = port_layernorm(
+            _get(sd, f"{p}.norm3.weight"), _get(sd, f"{p}.norm3.bias"))
+    return layer
+
+
+def _count_layers(sd: Mapping[str, Any], prefix: str) -> int:
+    ids = [int(k[len(prefix):].split(".")[0])
+           for k in sd if k.startswith(prefix)]
+    if not ids:
+        raise KeyError(
+            f"checkpoint has no '{prefix}*' keys — not a DETR state_dict? "
+            f"({len(sd)} keys, e.g. {sorted(sd)[:3]})")
+    return 1 + max(ids)
+
+
+def port_detr_state_dict(state_dict: Mapping[str, Any]) -> Dict:
+    """facebook-DETR ``state_dict`` (detr-r50 layout) → flax params for our
+    ``Detr`` (models/object_detection/detr.py): ResNet-50 FrozenBN backbone
+    under ``joiner.backbone``, encoder/decoder transformer with packed-MHA
+    → split q/k/v porting, shared class/bbox heads, query embeddings, and
+    the 1×1-conv input projection. Sine positional encoding carries no
+    params. Layer counts are inferred from the checkpoint."""
+    sd = dict(state_dict)
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]  # the published facebook checkpoints wrap in 'model'
+
+    enc_n = _count_layers(sd, "transformer.encoder.layers.")
+    dec_n = _count_layers(sd, "transformer.decoder.layers.")
+    transformer: Dict[str, Any] = {
+        "encoder": {
+            f"layer{i}": _port_detr_layer(
+                sd, f"transformer.encoder.layers.{i}", decoder=False)
+            for i in range(enc_n)
+        },
+        "decoder": {
+            f"layer{i}": _port_detr_layer(
+                sd, f"transformer.decoder.layers.{i}", decoder=True)
+            for i in range(dec_n)
+        },
+    }
+    transformer["decoder"]["norm"] = port_layernorm(
+        _get(sd, "transformer.decoder.norm.weight"),
+        _get(sd, "transformer.decoder.norm.bias"))
+
+    backbone = port_resnet50_state_dict(
+        {k: v for k, v in sd.items() if k.startswith("backbone.")})
+
+    proj_w = _np(_get(sd, "input_proj.weight"))  # (d, C, 1, 1)
+    params = {
+        "joiner": {"backbone": backbone},
+        "transformer": transformer,
+        "input_proj": {"kernel": proj_w.transpose(2, 3, 1, 0),
+                       "bias": _np(_get(sd, "input_proj.bias"))},
+        "query_embed": _np(_get(sd, "query_embed.weight")),
+        "class_embed": port_linear(
+            _get(sd, "class_embed.weight"), _get(sd, "class_embed.bias")),
+        "bbox_embed": {
+            f"layer{i}": port_linear(
+                _get(sd, f"bbox_embed.layers.{i}.weight"),
+                _get(sd, f"bbox_embed.layers.{i}.bias"))
+            for i in range(3)
+        },
+    }
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
