@@ -558,3 +558,34 @@ def test_port_detr_state_dict_structure_and_forward():
     assert out["pred_logits"].shape == (1, 4, 6)
     assert bool(jnp.all(jnp.isfinite(out["pred_logits"])))
     assert bool(jnp.all(jnp.isfinite(out["pred_boxes"])))
+
+
+def test_fit_detection_from_ported_checkpoint(tmp_path):
+    """End-to-end: port a (random) facebook-layout DETR checkpoint and
+    continue training it through fit_detection(init_params=...) — the CLI
+    --init-from-torch detection path."""
+    from tests.test_coco_utils import _write_tiny_coco
+    from vision_transformers_tpu.models.object_detection import Detr
+    from vision_transformers_tpu.training.detection import (
+        DetectionLoader, fit_detection,
+    )
+    from vision_transformers_tpu.utils.coco.build_coco import CocoDetection
+    from vision_transformers_tpu.utils.coco import transforms as T
+    from vision_transformers_tpu.utils.port_torch import port_detr_state_dict
+
+    sd = _fake_detr_state_dict(stage_sizes=(3, 4, 6, 3))
+    params = port_detr_state_dict(sd)
+
+    img_dir, ann_file = _write_tiny_coco(tmp_path, n_images=2)
+    tr = T.Compose([
+        T.RandomResize([32]), T.ToTensor(),
+        T.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    ])
+    ds = CocoDetection(img_dir, ann_file, transforms=tr)
+    loader = DetectionLoader(ds, batch_size=2, shuffle=False, size_bucket=32)
+    model = Detr(num_classes=5, num_queries=4, hidden_dim=32, nheads=4,
+                 num_encoder_layers=1, num_decoder_layers=1,
+                 dim_feedforward=64, dropout=0.0, backbone_norm="frozen_bn")
+    hist = fit_detection(model, loader, 1, num_classes=5, max_targets=4,
+                         init_params=params, verbose=False, seed=0)
+    assert np.isfinite(hist["loss"][0])

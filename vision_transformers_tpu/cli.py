@@ -134,9 +134,11 @@ def run_reference_main(model_name: str, epochs: int = 100,
 
 def run_detection_main(coco_path: str, epochs: int = 300,
                        batch_size: int = 8, num_classes: int = 91,
-                       masks: bool = False, **kwargs):
+                       masks: bool = False,
+                       init_from_torch: Optional[str] = None, **kwargs):
     """DETR-on-COCO entry point (the reference never got one — its
-    detection stack is unfinished)."""
+    detection stack is unfinished). ``init_from_torch`` continues from a
+    facebook detr-r50 checkpoint (utils/port_torch.port_detr_state_dict)."""
     from vision_transformers_tpu.models.object_detection import Detr
     from vision_transformers_tpu.training.detection import (
         DetectionLoader, fit_detection,
@@ -148,6 +150,16 @@ def run_detection_main(coco_path: str, epochs: int = 300,
     train = DetectionLoader(train_ds, batch_size, shuffle=True)
     val = DetectionLoader(val_ds, batch_size)
     model = Detr(num_classes=num_classes, aux_loss=True)
+    if init_from_torch:
+        import torch
+
+        from vision_transformers_tpu.utils.port_torch import (
+            port_detr_state_dict,
+        )
+
+        sd = torch.load(init_from_torch, map_location="cpu",
+                        weights_only=True)
+        kwargs["init_params"] = port_detr_state_dict(sd)
     return fit_detection(model, train, epochs, val_loader=val,
                          num_classes=num_classes, **kwargs)
 

@@ -100,6 +100,7 @@ def fit_detection(
     seed: int = 0,
     print_freq: int = 50,
     state=None,
+    init_params=None,
     verbose: bool = True,
     mesh: Optional[jax.sharding.Mesh] = None,
 ):
@@ -141,14 +142,18 @@ def fit_detection(
     rng = jax.random.PRNGKey(seed)
 
     if state is None:
-        first = next(iter(train_loader))
-        nt, _ = first
-        variables = model.init(
-            {"params": rng}, jnp.asarray(nt.tensors[:1]),
-            jnp.asarray(nt.mask[:1]))
+        if init_params is not None:
+            # e.g. a ported facebook detr-r50 checkpoint
+            # (utils/port_torch.port_detr_state_dict)
+            params = init_params
+        else:
+            first = next(iter(train_loader))
+            nt, _ = first
+            params = model.init(
+                {"params": rng}, jnp.asarray(nt.tensors[:1]),
+                jnp.asarray(nt.mask[:1]))["params"]
         state = ts.TrainState.create(
-            apply_fn=model.apply, params=variables["params"],
-            tx=make_tx(variables["params"]))
+            apply_fn=model.apply, params=params, tx=make_tx(params))
 
     data_sharding = None
     if mesh is not None:
