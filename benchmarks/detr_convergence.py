@@ -1,0 +1,126 @@
+"""DETR detection-stack convergence soak on a learnable synthetic task.
+
+The reference's detection stack never ran (detr.py is incomplete —
+SURVEY §2.9.2), so there is no accuracy anchor; and no COCO data exists
+in this environment. This soak proves the authored stack — COCO data
+pipeline, DETR, auction Hungarian matching, set criterion, PostProcess,
+home-grown COCOeval — actually LEARNS end to end on the real TPU: images
+contain 1–3 solid colored rectangles (class = color) on a noisy
+background, a task DETR must localize + classify, and mAP must climb
+from ~0 to a clearly non-trivial value.
+
+Writes benchmarks/detr_convergence_r02.json.
+Run: python benchmarks/detr_convergence.py  (SOAK_EPOCHS=N to override)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+COLORS = [(220, 40, 40), (40, 200, 60), (60, 80, 230), (230, 210, 40)]
+
+
+def write_synthetic_coco(root, n_images=80, size=96, seed=0):
+    from PIL import Image
+
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    images, annotations = [], []
+    aid = 1
+    for i in range(1, n_images + 1):
+        img = rng.randint(90, 130, (size, size, 3)).astype(np.uint8)
+        for _ in range(rng.randint(1, 4)):
+            cat = int(rng.randint(0, len(COLORS)))
+            bw, bh = (int(v) for v in rng.randint(14, 36, 2))
+            x = int(rng.randint(0, size - bw))
+            y = int(rng.randint(0, size - bh))
+            img[y:y + bh, x:x + bw] = COLORS[cat]
+            annotations.append({
+                "id": aid, "image_id": i, "category_id": cat + 1,
+                "bbox": [float(x), float(y), float(bw), float(bh)],
+                "area": float(bw * bh), "iscrowd": 0,
+                "segmentation": [[x, y, x + bw, y, x + bw, y + bh,
+                                  x, y + bh]],
+            })
+            aid += 1
+        Image.fromarray(img).save(
+            os.path.join(img_dir, f"{i:012d}.jpg"))
+        images.append({"id": i, "file_name": f"{i:012d}.jpg",
+                       "height": size, "width": size})
+    ann = {"images": images, "annotations": annotations,
+           "categories": [{"id": c + 1, "name": str(c)}
+                          for c in range(len(COLORS))]}
+    ann_file = os.path.join(root, "ann.json")
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+    return img_dir, ann_file
+
+
+def main():
+    import tempfile
+
+    from vision_transformers_tpu.models.object_detection import Detr
+    from vision_transformers_tpu.models.object_detection.criterion import (
+        SetCriterion,
+    )
+    from vision_transformers_tpu.training.detection import (
+        DetectionLoader, fit_detection,
+    )
+    from vision_transformers_tpu.utils.coco.build_coco import CocoDetection
+    from vision_transformers_tpu.utils.coco import transforms as T
+
+    epochs = int(os.environ.get("SOAK_EPOCHS", "150"))
+    tr = T.Compose([
+        T.RandomResize([96]),
+        T.ToTensor(),
+        T.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+    ])
+
+    with tempfile.TemporaryDirectory() as td:
+        img_dir, ann_file = write_synthetic_coco(td)
+        train_ds = CocoDetection(img_dir, ann_file, transforms=tr)
+        val_ds = CocoDetection(img_dir, ann_file, transforms=tr)
+        train = DetectionLoader(train_ds, batch_size=8, shuffle=True,
+                                size_bucket=96)
+        val = DetectionLoader(val_ds, batch_size=8, size_bucket=96)
+
+        model = Detr(num_classes=len(COLORS) + 1, num_queries=16,
+                     hidden_dim=64, nheads=4, num_encoder_layers=2,
+                     num_decoder_layers=2, dim_feedforward=128,
+                     dropout=0.0, backbone_norm="group", aux_loss=True)
+        crit = SetCriterion(num_classes=len(COLORS) + 1)
+
+        t0 = time.time()
+        hist = fit_detection(
+            model, train, epochs, val_loader=val,
+            num_classes=len(COLORS) + 1, max_targets=8, criterion=crit,
+            lr=2e-4, seed=0, verbose=False)
+        wall = time.time() - t0
+
+    maps = [m.get("AP", m.get("mAP", 0.0)) if isinstance(m, dict) else m
+            for m in hist["metrics"]]
+    out = {
+        "task": "synthetic color-rectangles (1-3 objects, 4 classes, 96px)",
+        "epochs": epochs, "wall_s": round(wall, 1),
+        "loss": [round(float(v), 4) for v in hist["loss"]],
+        "map_per_epoch": [round(float(v), 4) for v in maps],
+        "final_map": round(float(maps[-1]), 4) if maps else None,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "detr_convergence_r02.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"{epochs} epochs in {wall:.0f}s — loss "
+          f"{out['loss'][0]} -> {out['loss'][-1]}, mAP "
+          f"{maps[0] if maps else '?'} -> {out['final_map']}")
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
