@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from vision_transformers_tpu.ops.attention import mha_reference
@@ -346,3 +347,76 @@ def test_fused_block_supported_bounds():
     assert not fused_block_supported(197, 768, 4)    # ViT-B fp32: weights OOM
     assert not fused_block_supported(197, 1024, 2)   # ViT-L bf16: weights OOM
     assert fused_block_supported(65, 256, 4)         # CIFAR ViT-tiny fp32
+
+
+# ---------------------------------------------------------------------------
+# Multi-window block-diagonal pack kernel
+
+
+class TestWindowPack:
+    def _qkv(self, g=32, n=16, heads=2, dh=32, seed=0):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(
+            rng.randn(g, n, 3 * heads * dh).astype(np.float32) * 0.5)
+
+    def test_matches_oracle_no_bias(self):
+        from vision_transformers_tpu.ops.flash_attention import (
+            _window_pack_ref, window_packed_attention,
+        )
+
+        qkv = self._qkv()
+        ref = _window_pack_ref(qkv, None, 2, 1 / 32 ** 0.5)
+        got = window_packed_attention(qkv, None, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_matches_oracle_per_window_bias(self):
+        from vision_transformers_tpu.ops.flash_attention import (
+            _window_pack_ref, window_packed_attention,
+        )
+
+        g, n, heads, dh, n_win = 32, 16, 2, 32, 8
+        qkv = self._qkv(g, n, heads, dh, seed=1)
+        rng = np.random.RandomState(2)
+        bias = jnp.asarray(rng.randn(n_win, heads, n, n).astype(np.float32))
+        ref = _window_pack_ref(qkv, bias, heads, 1 / dh ** 0.5)
+        got = window_packed_attention(qkv, bias, heads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_reference(self):
+        from vision_transformers_tpu.ops.flash_attention import (
+            _window_pack_ref, window_packed_attention,
+        )
+
+        g, n, heads, dh, n_win = 16, 16, 2, 32, 4
+        qkv = self._qkv(g, n, heads, dh, seed=3)
+        bias = jnp.asarray(
+            np.random.RandomState(4).randn(n_win, heads, n, n)
+            .astype(np.float32) * 0.1)
+
+        def loss_k(qkv, bias):
+            return jnp.sum(window_packed_attention(qkv, bias, heads) ** 2)
+
+        def loss_r(qkv, bias):
+            return jnp.sum(_window_pack_ref(qkv, bias, heads,
+                                            1 / dh ** 0.5) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(qkv, bias)
+        gr = jax.grad(loss_r, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_plan_rejects_unsupported(self):
+        from vision_transformers_tpu.ops.flash_attention import (
+            window_pack_plan,
+        )
+
+        assert window_pack_plan(32, 16, 2, 128, 1) is None   # dh too big
+        assert window_pack_plan(33, 16, 2, 32, 1) is None    # g % p != 0
+        assert window_pack_plan(32, 16, 2, 32, 6) is None    # bias % p != 0
+        assert window_pack_plan(32, 200, 2, 32, 1) is None   # n too big
+        plan = window_pack_plan(32, 16, 2, 32, 8)
+        assert plan is not None and plan[0] == 4

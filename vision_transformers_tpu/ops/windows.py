@@ -25,6 +25,10 @@ import numpy as np
 
 from vision_transformers_tpu.core.initializers import trunc_normal_init, zeros_init
 from vision_transformers_tpu.ops.attention import dot_product_attention
+from vision_transformers_tpu.ops.flash_attention import (
+    window_pack_plan,
+    window_packed_attention,
+)
 
 
 def window_partition(x: jax.Array, wh: int, ww: int) -> jax.Array:
@@ -146,6 +150,7 @@ def shifted_window_attention(
     if qkv_bias is not None:
         qkv = qkv + qkv_bias
     dh = c // num_heads
+    qkv_packed = qkv  # (B·nW, N, 3C), [q | k | v] lanes — kernel layout
     qkv = qkv.reshape(g, n, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B·nW, nH, N, dh)
 
@@ -190,11 +195,28 @@ def shifted_window_attention(
         bias = jnp.broadcast_to(bias, (bias.shape[0], num_heads, n, n))
 
     drop = 0.0 if deterministic else attention_dropout
-    out = dot_product_attention(
-        q, k, v, bias=bias, scale=scale,
-        dropout_rate=drop, dropout_rng=dropout_rng,
-    )
-    out = out.transpose(0, 2, 1, 3).reshape(g, n, c)
+    pack_plan = None
+    if (jax.default_backend() == "tpu" and drop == 0.0
+            and logit_scale is None):
+        pack_plan = window_pack_plan(
+            g, n, num_heads, dh,
+            1 if bias is None else bias.shape[0],
+            qkv_packed.dtype.itemsize)
+    if pack_plan is not None:
+        # multi-window block-diagonal MXU packing: P = 128/dh windows per
+        # matmul at full contraction depth, straight off the packed
+        # projection output (flash_attention.py, _window_pack_kernel) —
+        # the split-head path runs at ~4% of roofline at these shapes.
+        out = window_packed_attention(
+            qkv_packed, bias, num_heads,
+            scale=scale if scale is not None else 1.0 / dh ** 0.5,
+            plan=pack_plan)
+    else:
+        out = dot_product_attention(
+            q, k, v, bias=bias, scale=scale,
+            dropout_rate=drop, dropout_rng=dropout_rng,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(g, n, c)
     out = out @ proj_kernel
     if proj_bias is not None:
         out = out + proj_bias
