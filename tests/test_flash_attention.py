@@ -231,6 +231,34 @@ def test_packed_gradients_match_oracle():
     assert jnp.max(jnp.abs(g1 - g2)) < 1e-4
 
 
+def test_packed_kv_valid_matches_truncated_oracle():
+    """kv_valid masks trailing pad keys: the first kv_valid tokens' outputs
+    equal the oracle run on the unpadded sequence (fwd and grads)."""
+    b, s_real, pad, heads, d = 2, 33, 7, 2, 16
+    s = s_real + pad
+    qkv = jax.random.normal(
+        jax.random.PRNGKey(4), (b, s, 3 * heads * d), jnp.float32)
+
+    out = packed_flash_attention(qkv, heads, kv_valid=s_real)
+    ref = _packed_oracle(qkv[:, :s_real], heads)
+    assert jnp.max(jnp.abs(out[:, :s_real] - ref)) < 1e-5
+
+    def loss_kernel(qkv):
+        o = packed_flash_attention(qkv, heads, kv_valid=s_real)
+        return jnp.sum(jnp.sin(o[:, :s_real]))
+
+    def loss_ref(qkv_real):
+        o = _packed_oracle(qkv_real, heads)
+        return jnp.sum(jnp.sin(o))
+
+    g1 = jax.grad(loss_kernel)(qkv)
+    g2 = jax.grad(loss_ref)(qkv[:, :s_real])
+    assert jnp.max(jnp.abs(g1[:, :s_real] - g2)) < 1e-4
+    # pad keys/values receive exactly zero gradient through valid queries
+    kv_cols = g1[:, s_real:, heads * d:]
+    assert jnp.max(jnp.abs(kv_cols)) < 1e-6
+
+
 def test_packed_matches_selfattention_module():
     """SelfAttention's split-head jnp path and the packed kernel agree on
     the same qkv tensor (weight-layout compatibility)."""

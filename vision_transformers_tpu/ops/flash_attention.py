@@ -482,7 +482,7 @@ def _dropout_keep(shape, rate):
 
 
 def _packed_fwd_kernel(qkv_ref, o_ref, lse_ref, *, heads, dh, scale,
-                       dropout_rate=0.0, seed_ref=None):
+                       kv_valid=None, dropout_rate=0.0, seed_ref=None):
     hd = heads * dh
     if dropout_rate > 0.0:
         # Mask depends on (seed, program, head-iteration order) only; the
@@ -496,6 +496,10 @@ def _packed_fwd_kernel(qkv_ref, o_ref, lse_ref, *, heads, dh, scale,
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale                                    # (b_blk, Sq, Sk)
+        if kv_valid is not None and kv_valid < s.shape[-1]:
+            # Trailing pad keys (sequence padded to a sublane-friendly S).
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+            s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -515,7 +519,8 @@ def _packed_fwd_kernel(qkv_ref, o_ref, lse_ref, *, heads, dh, scale,
 
 
 def _packed_bwd_kernel(qkv_ref, do_ref, out_ref, lse_ref, dqkv_ref,
-                       *, heads, dh, scale, dropout_rate=0.0, seed_ref=None):
+                       *, heads, dh, scale, kv_valid=None,
+                       dropout_rate=0.0, seed_ref=None):
     """Recompute-from-(qkv, lse) backward; S×S never touches HBM."""
     hd = heads * dh
     if dropout_rate > 0.0:
@@ -539,6 +544,11 @@ def _packed_bwd_kernel(qkv_ref, do_ref, out_ref, lse_ref, dqkv_ref,
             preferred_element_type=jnp.float32)
 
         s = bmm_nt(q, k) * scale                    # (b, Sq, Sk)
+        if kv_valid is not None and kv_valid < s.shape[-1]:
+            # p = exp(-1e30 - lse) = 0 for pad keys, so dv/dk/ds of pad
+            # columns vanish and the masked fwd's gradients stay exact.
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+            s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)
         delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                         axis=-1, keepdims=True)     # (b, Sq, 1)
@@ -575,7 +585,8 @@ def _packed_bwd_block(b, s, hd, itemsize):
     return b_blk
 
 
-def _packed_fwd(qkv, heads, scale, dropout_rate=0.0, seed=None):
+def _packed_fwd(qkv, heads, scale, dropout_rate=0.0, seed=None,
+                kv_valid=None):
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
     dh = hd // heads
@@ -588,7 +599,7 @@ def _packed_fwd(qkv, heads, scale, dropout_rate=0.0, seed=None):
     in_specs = [pl.BlockSpec((b_blk, s, three_hd), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [qkv]
-    kern_kwargs = dict(heads=heads, dh=dh, scale=scale,
+    kern_kwargs = dict(heads=heads, dh=dh, scale=scale, kv_valid=kv_valid,
                        dropout_rate=dropout_rate)
     if dropout_rate > 0.0:
         def kernel(seed_ref, qkv_ref, o_ref, lse_ref):
@@ -625,7 +636,7 @@ def _packed_fwd(qkv, heads, scale, dropout_rate=0.0, seed=None):
 
 
 def _packed_bwd_pallas(qkv, do, out, lse, heads, scale,
-                       dropout_rate=0.0, seed=None):
+                       dropout_rate=0.0, seed=None, kv_valid=None):
     b, s, three_hd = qkv.shape
     hd = three_hd // 3
     dh = hd // heads
@@ -644,7 +655,7 @@ def _packed_bwd_pallas(qkv, do, out, lse, heads, scale,
                      memory_space=pltpu.VMEM),
     ]
     args = [qkv, do, out, lse]
-    kern_kwargs = dict(heads=heads, dh=dh, scale=scale,
+    kern_kwargs = dict(heads=heads, dh=dh, scale=scale, kv_valid=kv_valid,
                        dropout_rate=dropout_rate)
     if dropout_rate > 0.0:
         def kernel(seed_ref, qkv_ref, do_ref, out_ref, lse_ref, dqkv_ref):
@@ -839,21 +850,21 @@ def _fused_block_bwd_rule(heads, scale, eps, res, do):
 fused_attention_block.defvjp(_fused_block_fwd_rule, _fused_block_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _packed_flash(qkv, seed, heads, scale, dropout_rate):
-    out, _ = _packed_fwd(qkv, heads, scale, dropout_rate, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _packed_flash(qkv, seed, heads, scale, dropout_rate, kv_valid):
+    out, _ = _packed_fwd(qkv, heads, scale, dropout_rate, seed, kv_valid)
     return out
 
 
-def _packed_flash_fwd_rule(qkv, seed, heads, scale, dropout_rate):
-    out, lse = _packed_fwd(qkv, heads, scale, dropout_rate, seed)
+def _packed_flash_fwd_rule(qkv, seed, heads, scale, dropout_rate, kv_valid):
+    out, lse = _packed_fwd(qkv, heads, scale, dropout_rate, seed, kv_valid)
     return out, (qkv, seed, out, lse)
 
 
-def _packed_flash_bwd_rule(heads, scale, dropout_rate, res, do):
+def _packed_flash_bwd_rule(heads, scale, dropout_rate, kv_valid, res, do):
     qkv, seed, out, lse = res
     dqkv = _packed_bwd_pallas(qkv, do, out, lse, heads, scale,
-                              dropout_rate, seed)
+                              dropout_rate, seed, kv_valid)
     return (dqkv, None)
 
 
@@ -861,7 +872,7 @@ _packed_flash.defvjp(_packed_flash_fwd_rule, _packed_flash_bwd_rule)
 
 
 def packed_flash_attention(qkv, heads, scale=None, dropout_rate=0.0,
-                           seed=None):
+                           seed=None, kv_valid=None):
     """Self attention straight off the packed QKV projection.
 
     qkv: (B, S, 3·H·D) laid out [q | k | v] along the last axis (torch
@@ -873,6 +884,11 @@ def packed_flash_attention(qkv, heads, scale=None, dropout_rate=0.0,
     the same seed replays the same mask (and the backward replays it too).
     TPU only — interpret mode has no pltpu PRNG, and off-TPU callers
     (ops.attention dispatcher) use the jnp path instead.
+
+    ``kv_valid`` (static int) masks trailing pad keys: tokens >= kv_valid
+    never receive attention (their own rows compute garbage the caller
+    slices away). Lets models pad S to a sublane-friendly length (e.g.
+    ViT's 197 -> 208) so every surrounding projection runs on clean tiles.
     """
     if scale is None:
         scale = 1.0 / ((qkv.shape[-1] // (3 * heads)) ** 0.5)
@@ -880,7 +896,12 @@ def packed_flash_attention(qkv, heads, scale=None, dropout_rate=0.0,
         raise ValueError("dropout_rate > 0 requires a seed")
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    return _packed_flash(qkv, seed, heads, scale, float(dropout_rate))
+    if kv_valid is not None:
+        kv_valid = int(kv_valid)
+        if kv_valid >= qkv.shape[1]:
+            kv_valid = None
+    return _packed_flash(qkv, seed, heads, scale, float(dropout_rate),
+                         kv_valid)
 
 
 # ---------------------------------------------------------------------------
