@@ -9,9 +9,79 @@ clipping as chain links, all running inside the jitted step.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, NamedTuple, Optional, Union
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class FusedAdam(NamedTuple):
+    """optax-shaped Adam(W) whose ``fused_apply`` runs the whole update —
+    moments, bias correction, weight decay, AND the parameter add — as one
+    Pallas memory pass per leaf (ops/fused_adam.py). TrainState
+    .apply_gradients dispatches to ``fused_apply`` when present; the plain
+    ``update`` path stays optax-compatible for chained/inspection use.
+    Opt-in only — see make_optimizer for the measured rejection."""
+
+    init: Callable
+    update: Callable
+    fused_apply: Callable
+
+
+def _fused_adam(learning_rate: Union[float, Callable], b1=0.9, b2=0.999,
+                eps=1e-8, weight_decay=0.0) -> FusedAdam:
+    from vision_transformers_tpu.ops.fused_adam import fused_adam_update
+
+    def _lr(count_inc):
+        if callable(learning_rate):
+            # schedules are 0-based on the pre-update count (optax semantics)
+            return learning_rate(count_inc - 1)
+        return learning_rate
+
+    def init(params):
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=zeros,
+            nu=jax.tree.map(jnp.copy, zeros))
+
+    def update(grads, state, params=None):
+        # optax-contract fallback (returns updates): jnp math, same result
+        count_inc = state.count + 1
+        t = count_inc.astype(jnp.float32)
+        c1 = 1.0 / (1.0 - jnp.power(b1, t))
+        c2 = 1.0 / (1.0 - jnp.power(b2, t))
+        mu = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * (g * g), state.nu, grads)
+        lr = _lr(t)
+
+        def upd(m, v, p):
+            base = (m * c1) / (jnp.sqrt(v * c2) + eps)
+            if weight_decay and params is not None:
+                base = base + weight_decay * p
+            return -lr * base
+
+        if params is None:
+            updates = jax.tree.map(
+                lambda m, v: upd(m, v, None), mu, nu)
+        else:
+            updates = jax.tree.map(upd, mu, nu, params)
+        return updates, optax.ScaleByAdamState(
+            count=count_inc, mu=mu, nu=nu)
+
+    def fused_apply(params, grads, state):
+        count_inc = state.count + 1
+        new_p, new_m, new_v = fused_adam_update(
+            params, state.mu, state.nu, grads,
+            count_inc, _lr(count_inc.astype(jnp.float32)),
+            b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+        return new_p, optax.ScaleByAdamState(
+            count=count_inc, mu=new_m, nu=new_v)
+
+    return FusedAdam(init=init, update=update, fused_apply=fused_apply)
 
 
 def make_optimizer(
@@ -23,9 +93,26 @@ def make_optimizer(
     grad_clip_norm: Optional[float] = None,
     schedule=None,
     accumulate_steps: int = 1,
+    fused: Optional[bool] = None,
 ) -> optax.GradientTransformation:
+    """``fused=True`` selects the single-pass Pallas Adam(W) update
+    (ops/fused_adam.py). Default is OFF: measured on v5e at ViT-B/16
+    (PERFORMANCE.md "fused Adam" entry), the per-leaf kernel dispatch
+    (~52 us x ~50 leaves over the axon tunnel) costs more than the
+    ~1.4 ms of HBM traffic it saves — XLA's own Adam fusion under the
+    64 MB scoped-VMEM compile option already runs at ~4.4 ms vs the
+    2.96 ms roofline. The kernel stays available for param trees with
+    few large leaves, where the arithmetic flips."""
     learning_rate = schedule if schedule is not None else lr
     name = name.lower()
+    if fused is None:
+        fused = False
+    if fused and name in ("adam", "adamw"):
+        if grad_clip_norm is not None or accumulate_steps > 1:
+            raise ValueError(
+                "fused adam does not compose with grad_clip_norm or "
+                "gradient accumulation; pass fused=False")
+        return _fused_adam(learning_rate, weight_decay=weight_decay)
     if name == "adam":
         tx = (
             optax.adamw(learning_rate, weight_decay=weight_decay)

@@ -35,7 +35,18 @@ from vision_transformers_tpu.training.optimizers import make_optimizer
 
 
 class TrainState(train_state.TrainState):
-    pass
+    def apply_gradients(self, *, grads, **kwargs):
+        # FusedAdam: the whole update (moments + bias correction + param
+        # add) is one in-place Pallas pass per leaf — bypass the optax
+        # update/apply_updates split, which would re-stream params.
+        fused = getattr(self.tx, "fused_apply", None)
+        if fused is not None:
+            new_params, new_opt_state = fused(
+                self.params, grads, self.opt_state)
+            return self.replace(
+                step=self.step + 1, params=new_params,
+                opt_state=new_opt_state, **kwargs)
+        return super().apply_gradients(grads=grads, **kwargs)
 
 
 def cross_entropy_with_weights(logits, labels, weights):
