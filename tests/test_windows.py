@@ -103,3 +103,77 @@ def test_patch_merging_shapes_and_s2d_order():
     params = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(params, x)
     assert y.shape == (2, 2, 2, 6)  # H/2, W/2, 2C
+
+
+class TestPackPathGlue:
+    """ADVICE r2: force the multi-window pack kernel (interpret mode on CPU)
+    through the FULL shifted_window_attention glue — combined bias
+    construction/ordering, packed-layout cosine folding — and check it
+    against the split-head fallback path."""
+
+    def _run(self, force_pack, shift, logit_scale=None, heads=2):
+        import vision_transformers_tpu.ops.windows as W
+
+        # dh = c/heads = 4 → p = 32; g = b·nW must be divisible by p and,
+        # for the shifted case, nW (=4) must divide into bias packing
+        b, h, w, c = 8, 8, 8, heads * 4
+        win, n = (4, 4), 16
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        x = jax.random.normal(ks[0], (b, h, w, c))
+        qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+        proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+        rel = jax.random.normal(ks[3], (heads, n, n)) * 0.05
+        old = W.FORCE_PACK_PATH
+        W.FORCE_PACK_PATH = force_pack
+        try:
+            return shifted_window_attention(
+                x, qkv_k, None, proj_k, None, rel,
+                window_size=win, num_heads=heads, shift_size=shift,
+                logit_scale=logit_scale,
+            )
+        finally:
+            W.FORCE_PACK_PATH = old
+
+    def test_pack_matches_fallback_no_shift(self):
+        a = self._run(True, (0, 0))
+        b = self._run(False, (0, 0))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_pack_matches_fallback_shifted(self):
+        a = self._run(True, (2, 2))
+        b = self._run(False, (2, 2))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_pack_matches_fallback_cosine_v2(self):
+        ls = jnp.full((2, 1, 1), jnp.log(10.0))
+        a = self._run(True, (2, 2), logit_scale=ls)
+        b = self._run(False, (2, 2), logit_scale=ls)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_dropout_warns_and_falls_back(self):
+        import warnings
+        import vision_transformers_tpu.ops.windows as W
+
+        W._pack_dropout_warned = False
+        old = W.FORCE_PACK_PATH
+        W.FORCE_PACK_PATH = True
+        try:
+            b, h, w, c = 8, 8, 8, 8
+            ks = jax.random.split(jax.random.PRNGKey(3), 3)
+            x = jax.random.normal(ks[0], (b, h, w, c))
+            qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+            proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+            with warnings.catch_warnings(record=True) as rec:
+                warnings.simplefilter("always")
+                shifted_window_attention(
+                    x, qkv_k, None, proj_k, None, None,
+                    window_size=(4, 4), num_heads=2, shift_size=(0, 0),
+                    attention_dropout=0.5, deterministic=False,
+                    dropout_rng=jax.random.PRNGKey(0),
+                )
+            assert any("pack kernel" in str(r.message) for r in rec)
+        finally:
+            W.FORCE_PACK_PATH = old

@@ -1096,8 +1096,13 @@ def _window_pack_bwd_rule(heads, scale, p, g_blk, res, do):
         _, vjp = jax.vjp(
             lambda a: _window_pack_ref(a, None, heads, scale), qkv)
         return vjp(do) + (None,)
+    # the fwd kernel stores the bias VMEM-resident in the COMPUTE dtype
+    # (fp32(bf16(bias)) at the score add — see _window_pack_fwd_pallas);
+    # recompute through the same rounding so the gradients are consistent
+    # with the actual forward at bf16 (ADVICE r2)
     _, vjp = jax.vjp(
-        lambda a, b: _window_pack_ref(a, b, heads, scale), qkv, bias)
+        lambda a, b: _window_pack_ref(
+            a, b.astype(a.dtype), heads, scale), qkv, bias)
     return vjp(do)
 
 

@@ -31,6 +31,31 @@ from vision_transformers_tpu.ops.flash_attention import (
 )
 
 
+# Test hook: None = auto (pack kernel on TPU only), True/False forces the
+# choice. Lets the CPU suite drive the module→kernel glue (bias packing,
+# ordering, cosine folding) through interpret mode — a regression there
+# would otherwise only surface in on-TPU benchmarks (ADVICE r2).
+FORCE_PACK_PATH: Optional[bool] = None
+
+_pack_dropout_warned = False
+
+
+def _warn_pack_dropout_fallback():
+    global _pack_dropout_warned
+    if not _pack_dropout_warned:
+        _pack_dropout_warned = True
+        import warnings
+
+        warnings.warn(
+            "attention_dropout > 0 disengages the multi-window pack kernel "
+            "for windowed attention (falls back to the split-head path, "
+            "~2x slower at Swin stage-1 shapes); set attention_dropout=0.0 "
+            "to keep the kernel path",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def window_partition(x: jax.Array, wh: int, ww: int) -> jax.Array:
     """(B, H, W, C) → (B·nW, wh·ww, C). H, W must be window multiples."""
     b, h, w, c = x.shape
@@ -150,14 +175,14 @@ def shifted_window_attention(
     if qkv_bias is not None:
         qkv = qkv + qkv_bias
     dh = c // num_heads
-    qkv_packed = qkv  # (B·nW, N, 3C), [q | k | v] lanes — kernel layout
-    qkv = qkv.reshape(g, n, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]  # (B·nW, nH, N, dh)
 
-    scale = None
+    scale = 1.0 / dh ** 0.5
     if logit_scale is not None:
-        # Cosine attention: normalize, then bake the clamped per-head
-        # temperature into q so the downstream kernel sees a plain dot.
+        # Cosine attention (SwinV2): normalize q/k and bake the clamped
+        # per-head temperature into q ON THE PACKED (B·nW, N, 3C) LAYOUT —
+        # a contiguous (g, n, 3, nH, dh) view, so the elementwise work
+        # fuses into the projection epilogue and the multi-window pack
+        # kernel below stays reachable (it consumes the packed layout).
         # x·rsqrt(Σx²+ε) — NOT x/max(‖x‖,ε), whose backward is NaN at
         # x=0 (and window padding makes exact-zero q/k rows whenever the
         # feature map is smaller than the window, e.g. the last stage of
@@ -167,10 +192,16 @@ def shifted_window_attention(
             sumsq = jnp.sum(t32 * t32, axis=-1, keepdims=True)
             return (t32 * jax.lax.rsqrt(sumsq + 1e-12)).astype(t.dtype)
 
-        q, k = _l2n(q), _l2n(k)
+        q5 = qkv.reshape(g, n, 3, num_heads, dh)
         temp = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0)))
-        q = q * temp[None].astype(q.dtype)  # (1, nH, 1, 1) over (g, nH, N, dh)
+        qn = _l2n(q5[:, :, 0]) * temp.reshape(1, 1, num_heads, 1).astype(
+            qkv.dtype)
+        kn = _l2n(q5[:, :, 1])
+        qkv = jnp.concatenate(
+            [qn[:, :, None], kn[:, :, None], q5[:, :, 2:3]], axis=2
+        ).reshape(g, n, 3 * c)
         scale = 1.0
+    qkv_packed = qkv  # (B·nW, N, 3C), [q | k | v] lanes — kernel layout
 
     # Combined additive bias: relative-position bias (shared by all windows)
     # + per-window shift mask (shared by batch and heads). Shape (nW', nH,
@@ -196,22 +227,33 @@ def shifted_window_attention(
 
     drop = 0.0 if deterministic else attention_dropout
     pack_plan = None
-    if (jax.default_backend() == "tpu" and drop == 0.0
-            and logit_scale is None):
+    use_pack = (
+        FORCE_PACK_PATH if FORCE_PACK_PATH is not None
+        else jax.default_backend() == "tpu"
+    )
+    if use_pack:
         pack_plan = window_pack_plan(
             g, n, num_heads, dh,
             1 if bias is None else bias.shape[0],
             qkv_packed.dtype.itemsize)
+    if pack_plan is not None and drop > 0.0:
+        # the pack kernel has no in-kernel dropout; losing it changes the
+        # perf class, so say so once instead of silently falling back
+        _warn_pack_dropout_fallback()
+        pack_plan = None
     if pack_plan is not None:
         # multi-window block-diagonal MXU packing: P = 128/dh windows per
         # matmul at full contraction depth, straight off the packed
         # projection output (flash_attention.py, _window_pack_kernel) —
         # the split-head path runs at ~4% of roofline at these shapes.
+        # The cosine (SwinV2) case rides the same kernel: normalization
+        # and temperature are already folded into the packed q, scale=1.
         out = window_packed_attention(
-            qkv_packed, bias, num_heads,
-            scale=scale if scale is not None else 1.0 / dh ** 0.5,
-            plan=pack_plan)
+            qkv_packed, bias, num_heads, scale=scale, plan=pack_plan)
     else:
+        qkv5 = qkv_packed.reshape(g, n, 3, num_heads, dh).transpose(
+            2, 0, 3, 1, 4)
+        q, k, v = qkv5[0], qkv5[1], qkv5[2]  # (B·nW, nH, N, dh)
         out = dot_product_attention(
             q, k, v, bias=bias, scale=scale,
             dropout_rate=drop, dropout_rng=dropout_rng,

@@ -81,6 +81,20 @@ _REGISTRY: Dict[str, Dict[str, Any]] = {
     "vitb16_224": _vit_224(12, 12, 768, 3072),
     "vitl16_224": _vit_224(24, 16, 1024, 4096),
     "vitti16_224": _vit_224(12, 3, 192, 768),
+    # ImageNet-scale Swin presets (torchvision swin_t / swin_v2_t shapes:
+    # patch 4, window 7 for V1 / 8 for V2) — hierarchical-model benchmarks.
+    "swint_224": {
+        "image_size": 224, "patch_size": [4, 4], "embed_dim": 96,
+        "depths": [2, 2, 6, 2], "num_heads": [3, 6, 12, 24],
+        "window_size": [7, 7], "mlp_ratio": 4.0, "dropout": 0.0,
+        "attention_dropout": 0.0, "stochastic_depth_prob": 0.2,
+    },
+    "swinv2t_224": {
+        "image_size": 224, "patch_size": [4, 4], "embed_dim": 96,
+        "depths": [2, 2, 6, 2], "num_heads": [3, 6, 12, 24],
+        "window_size": [8, 8], "mlp_ratio": 4.0, "dropout": 0.0,
+        "attention_dropout": 0.0, "stochastic_depth_prob": 0.2,
+    },
 }
 
 _DATASET_CLASSES = {
