@@ -211,3 +211,140 @@ def test_fit_detection_mesh_dp_matches_single():
         assert np.isfinite(got["loss"][0])
         np.testing.assert_allclose(got["loss"][0], ref["loss"][0],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_partition_rules_zoo():
+    """r3: rules must cover Swin raw params, SRA names, DETR projections
+    and FFN — not just the ViT Dense names (VERDICT r2 #4)."""
+    from vision_transformers_tpu.parallel.mesh import attention_prefixes
+
+    # Swin raw packed params (ops/windows.py)
+    assert param_partition_spec("stage0_block0/attn/qkv_kernel") \
+        == P(None, "model")
+    assert param_partition_spec("stage0_block0/attn/qkv_bias") == P("model")
+    # SRA (ops/sra.py): q/kv Dense; proj is context-dependent
+    assert param_partition_spec("s/attn/q/kernel") == P(None, "model")
+    assert param_partition_spec("s/attn/kv/kernel") == P(None, "model")
+    # DETR FFN
+    assert param_partition_spec("enc/layer0/linear1/kernel") \
+        == P(None, "model")
+    assert param_partition_spec("enc/layer0/linear2/kernel") \
+        == P("model", None)
+    # contextual out-proj: sharded only under a module owning q/kv/qkv
+    paths = ["s/attn/q/kernel", "s/attn/proj/kernel",
+             "s/patch_embed/proj/kernel", "w/qkv_kernel", "w/proj_kernel"]
+    attn = attention_prefixes(paths)
+    assert param_partition_spec("s/attn/proj/kernel", attn) \
+        == P("model", None)
+    assert param_partition_spec("s/patch_embed/proj/kernel", attn) == P()
+    assert param_partition_spec("w/proj_kernel", attn) == P("model", None)
+
+
+def _audit_model(model, sample_shape, **init_kwargs):
+    from vision_transformers_tpu.parallel.mesh import audit_tp_coverage
+
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros(sample_shape), **init_kwargs,
+    )
+    return audit_tp_coverage(v["params"], min_bytes=1 << 18)
+
+
+def test_tp_coverage_audit_zoo():
+    """Every ≥256 KB param in each family either TP-shards or is on the
+    intended-replicated list — silent replication can't return."""
+    from vision_transformers_tpu.models.image_classification import (
+        PVT, SwinTransformer, TwinSVT, ViT,
+    )
+
+    assert _audit_model(
+        ViT(image_size=32, patch_size=4, num_layers=2, num_heads=4,
+            hidden_dim=256, mlp_dim=512, num_classes=100),
+        (1, 32, 32, 3)) == []
+    assert _audit_model(
+        SwinTransformer(patch_size=[2, 2], embed_dim=96, depths=[1, 1],
+                        num_heads=[3, 6], window_size=[4, 4],
+                        num_classes=100),
+        (1, 32, 32, 3)) == []
+    assert _audit_model(
+        PVT(image_size=32, patch_size=4, embed_dims=[64, 128],
+            num_heads=[2, 4], depths=[1, 1], sr_ratios=[2, 1],
+            num_stages=2, num_classes=100),
+        (1, 32, 32, 3)) == []
+    assert _audit_model(
+        TwinSVT(img_size=32, num_classes=100), (1, 32, 32, 3)) == []
+
+
+def test_tp_coverage_audit_detr():
+    from vision_transformers_tpu.models.object_detection import Detr
+    from vision_transformers_tpu.parallel.mesh import audit_tp_coverage
+
+    model = Detr(num_classes=5, num_queries=8, hidden_dim=64, nheads=4,
+                 num_encoder_layers=1, num_decoder_layers=1,
+                 dim_feedforward=128, dropout=0.0, backbone_norm="group")
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3)), jnp.ones((1, 64, 64), bool),
+    )
+    assert audit_tp_coverage(v["params"], min_bytes=1 << 18) == []
+
+
+def _bitmatch_dp_tp(model, x, y):
+    w = jnp.ones((x.shape[0],), jnp.float32)
+    rng = jax.random.PRNGKey(42)
+    v = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x[:1],
+    )
+
+    def run(params, images, labels, weights):
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.adam(1e-3))
+        step = jax.jit(train_step_fn(model))
+        new_state, loss_sum, correct, n = step(state, images, labels,
+                                               weights, rng)
+        return float(loss_sum), jax.device_get(new_state.params)
+
+    loss_1, params_1 = run(v["params"], x, y, w)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sharded = shard_params(v["params"], mesh)
+    loss_8, params_8 = run(
+        sharded,
+        jax.device_put(x, batch_sharding(mesh)),
+        jax.device_put(y, batch_sharding(mesh)),
+        jax.device_put(w, batch_sharding(mesh)),
+    )
+    assert loss_1 == pytest.approx(loss_8, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_dp_tp_swin_matches_single_device():
+    """Swin's raw qkv_kernel/proj_kernel params now TP-shard; the 4x2 mesh
+    step must still bit-match the single-device step."""
+    from vision_transformers_tpu.models.image_classification import (
+        SwinTransformer,
+    )
+
+    model = SwinTransformer(patch_size=[2, 2], embed_dim=16,
+                            depths=[1, 1], num_heads=[2, 4],
+                            window_size=[2, 2], num_classes=10,
+                            stochastic_depth_prob=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    y = jnp.arange(8, dtype=jnp.int32) % 10
+    _bitmatch_dp_tp(model, x, y)
+
+
+def test_dp_tp_pvt_matches_single_device():
+    """SRA's q/kv/proj params TP-shard consistently (no more q-replicated /
+    kv-sharded split)."""
+    from vision_transformers_tpu.models.image_classification import PVT
+
+    model = PVT(image_size=16, patch_size=4, embed_dims=[16, 32],
+                num_heads=[2, 4], depths=[1, 1], sr_ratios=[2, 1],
+                num_stages=2, num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    y = jnp.arange(8, dtype=jnp.int32) % 10
+    _bitmatch_dp_tp(model, x, y)

@@ -13,13 +13,16 @@ from vision_transformers_tpu.parallel.distributed import (
     all_gather_objects,
     save_on_master,
 )
+from vision_transformers_tpu.parallel.mesh import audit_tp_coverage
 from vision_transformers_tpu.parallel.sequence import (
     ring_attention_local,
     sequence_parallel_attention,
+    sequence_sharding,
 )
 from vision_transformers_tpu.parallel.pipeline import (
     pipeline_apply,
     pipeline_local,
+    vit_pipeline_forward,
 )
 from vision_transformers_tpu.parallel.expert import (
     expert_parallel_mlp,

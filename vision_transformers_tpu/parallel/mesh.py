@@ -33,22 +33,55 @@ def make_mesh(
 
 # Megatron-style TP rules for the transformer params: column-parallel QKV and
 # MLP fc1 (output dim sharded), row-parallel out-proj and fc2 (input dim
-# sharded). Biases follow their kernel's output sharding. Everything else —
-# embeddings, layernorms, heads — is replicated.
+# sharded). Biases follow their kernel's output sharding (row-parallel
+# outputs are full-width, so their biases replicate). Everything else —
+# embeddings, layernorms, heads — is replicated. Covers the whole zoo:
+# ViT-family Dense names (qkv/out/fc1/fc2), Swin's raw packed params
+# (qkv_kernel/qkv_bias/proj_kernel, ops/windows.py), SRA's q/kv
+# (ops/sra.py), DETR's q_proj/k_proj/v_proj/out_proj + linear1/linear2
+# FFN (models/object_detection/transformer.py).
 _TP_RULES = (
-    (re.compile(r".*/(qkv|q_proj|k_proj|v_proj|kv)/kernel$"), P(None, "model")),
-    (re.compile(r".*/(qkv|q_proj|k_proj|v_proj|kv)/bias$"), P("model")),
+    (re.compile(r".*/(qkv|q_proj|k_proj|v_proj|kv|q)/kernel$"),
+     P(None, "model")),
+    (re.compile(r".*/(qkv|q_proj|k_proj|v_proj|kv|q)/bias$"), P("model")),
+    (re.compile(r".*qkv_kernel$"), P(None, "model")),
+    (re.compile(r".*qkv_bias$"), P("model")),
     (re.compile(r".*/(out|out_proj)/kernel$"), P("model", None)),
-    (re.compile(r".*/(fc1)/kernel$"), P(None, "model")),
-    (re.compile(r".*/(fc1)/bias$"), P("model")),
-    (re.compile(r".*/(fc2)/kernel$"), P("model", None)),
+    (re.compile(r".*/(fc1|linear1)/kernel$"), P(None, "model")),
+    (re.compile(r".*/(fc1|linear1)/bias$"), P("model")),
+    (re.compile(r".*/(fc2|linear2)/kernel$"), P("model", None)),
 )
 
+# 'proj' is an out-projection only when its owning module also holds a
+# q/kv/qkv param (SRA, TNT inner/outer attention); elsewhere (patch
+# embeds) the same name is a replicated embedding projection.
+_CTX_PROJ_KERNEL = re.compile(r".*/proj/kernel$")
+_CTX_PROJ_KERNEL_RAW = re.compile(r".*/proj_kernel$")
+_QKV_OWNER = re.compile(r".*/(qkv|q|kv)/kernel$")
+_QKV_OWNER_RAW = re.compile(r".*qkv_kernel$")
 
-def param_partition_spec(path: str) -> P:
+
+def attention_prefixes(paths) -> set:
+    """Module prefixes that own a q/kv/qkv projection param."""
+    pref = set()
+    for p in paths:
+        if _QKV_OWNER.match(p):
+            pref.add(p.rsplit("/", 2)[0])
+        elif _QKV_OWNER_RAW.match(p):
+            pref.add(p.rsplit("/", 1)[0])
+    return pref
+
+
+def param_partition_spec(path: str, attn_prefixes=()) -> P:
     for rule, spec in _TP_RULES:
         if rule.match(path):
             return spec
+    if _CTX_PROJ_KERNEL.match(path):
+        if path.rsplit("/", 2)[0] in attn_prefixes:
+            return P("model", None)
+    elif _CTX_PROJ_KERNEL_RAW.match(path):
+        if path.rsplit("/", 1)[0] in attn_prefixes:
+            return P("model", None)
     return P()
 
 
@@ -60,14 +93,48 @@ def tree_paths(tree):
     ]
 
 
+# Params that are large but INTENTIONALLY replicated under TP: token/patch
+# embeddings, position embeddings/tables, classifier heads, class/dist
+# tokens, backbone convs (DETR ResNet), query embeddings.
+_REPLICATED_OK = re.compile(
+    r".*(patch_embed|pos_embed|pos_embedding|position|embedding|head|"
+    r"cls_token|class_token|dist_token|bias_table|cpb_|backbone|query|"
+    r"conv|downsample|merge|reduction|norm|sr|input_proj)", re.IGNORECASE,
+)
+
+
+def audit_tp_coverage(params, mesh: Optional[Mesh] = None,
+                      min_bytes: int = 1 << 20):
+    """Return paths of params ≥ ``min_bytes`` that neither match a TP rule
+    nor are on the intentionally-replicated list — i.e. silent replication
+    a rule SHOULD cover. Tests assert this is empty per model family so new
+    param names can't quietly opt out of TP (VERDICT r2 #4)."""
+    paths = tree_paths(params)
+    attn = attention_prefixes(paths)
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    missed = []
+    for path, (_, leaf) in zip(paths, flat):
+        if leaf.size * leaf.dtype.itemsize < min_bytes:
+            continue
+        spec = param_partition_spec(path, attn)
+        if any(a is not None for a in spec):
+            continue
+        if _REPLICATED_OK.match(path):
+            continue
+        missed.append(path)
+    return missed
+
+
 def shard_params(params, mesh: Mesh):
     """Apply TP partition specs to a param pytree (replicates non-matching).
 
     When the mesh has no 'model' axis (or size 1), everything is effectively
     replicated and this is plain DP.
     """
+    attn_prefixes = attention_prefixes(tree_paths(params))
+
     def spec_for(path, leaf):
-        p = param_partition_spec(path)
+        p = param_partition_spec(path, attn_prefixes)
         # Guard: don't shard dims the leaf doesn't have or that don't divide.
         if any(a is not None for a in p):
             if len(p) > leaf.ndim:
