@@ -80,3 +80,44 @@ def test_pipeline_vit_encoder_blocks():
     out = pipeline_apply(stage_fn, stacked, x, mesh, n_micro=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_vit_pipeline_forward_matches_apply():
+    """Public PP path (VERDICT r2 #5): the real ViT encoder stack,
+    stage-sharded via vit_pipeline_forward, matches model.apply."""
+    from vision_transformers_tpu.models.image_classification import ViT
+    from vision_transformers_tpu.parallel import vit_pipeline_forward
+
+    model = ViT(image_size=16, patch_size=4, num_layers=8, num_heads=4,
+                hidden_dim=32, mlp_dim=64, num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    v = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x[:1],
+    )
+    ref = model.apply(v, x)
+    mesh = make_mesh((8,), ("stage",))
+    out = vit_pipeline_forward(model, v["params"], x, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vit_pipeline_dp_pp_composition():
+    """DP×PP on a ('data', 'stage') = (2, 4) mesh: every data slice runs
+    the same 4-stage pipeline; result still matches the plain forward."""
+    from vision_transformers_tpu.models.image_classification import ViT
+    from vision_transformers_tpu.parallel import vit_pipeline_forward
+
+    model = ViT(image_size=16, patch_size=4, num_layers=8, num_heads=4,
+                hidden_dim=32, mlp_dim=64, num_classes=10)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 16, 16, 3))
+    v = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        x[:1],
+    )
+    ref = model.apply(v, x)
+    mesh = make_mesh((2, 4), ("data", "stage"))
+    out = vit_pipeline_forward(model, v["params"], x, mesh,
+                               data_axis="data", n_micro=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

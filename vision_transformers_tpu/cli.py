@@ -101,10 +101,16 @@ def run_reference_main(model_name: str, epochs: int = 100,
 
         params = load_torch_checkpoint(init_from_torch, model_name, args)
         img = args.get("image_size") or 32
+        # forward the optimizer kwargs fit() would otherwise pass through
+        # **opt_kwargs, so --init-from-torch trains with the SAME optimizer
+        # configuration as a fresh run (ADVICE r2)
+        opt_keys = ("weight_decay", "momentum", "grad_clip_norm",
+                    "schedule", "accumulate_steps", "fused")
+        opt_kwargs = {k: fit_kwargs[k] for k in opt_keys if k in fit_kwargs}
         state = make_train_state(
             model, jax.random.PRNGKey(fit_kwargs.get("seed", 0)),
             jnp.zeros((1, img, img, 3), jnp.float32), lr=lr,
-            optimizer=fit_kwargs.get("optimizer", "adam"))
+            optimizer=fit_kwargs.get("optimizer", "adam"), **opt_kwargs)
         fit_kwargs["state"] = state.replace(params=params)
     if on_device and dataset.lower().startswith("cifar"):
         import numpy as np

@@ -29,11 +29,20 @@ from vision_transformers_tpu.ops.attention import dot_product_attention
 
 
 class CrossAttention(nn.Module):
-    """MHA with separate query/key/value inputs and key-padding mask."""
+    """MHA with separate query/key/value inputs and key-padding mask.
+
+    ``sp_capable`` (set on the ENCODER's self-attention only, where
+    q/k/v share one sequence): while a ``parallel.sequence_sharding(mesh)``
+    context is active and the sequence divides the seq axis, the softmax
+    runs as ring attention over the mesh — the COCO-scale use case named
+    in parallel/sequence.py (1333px → S≈4200 score rows per chip shard).
+    Falls back silently when shapes don't divide; dropout > 0 falls back
+    too (the ring body has no in-kernel dropout)."""
 
     d_model: int
     nhead: int
     dropout: float = 0.0
+    sp_capable: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,6 +66,25 @@ class CrossAttention(nn.Module):
             mask = ~key_padding_mask[:, None, None, :]
 
         drop = 0.0 if deterministic else self.dropout
+
+        if self.sp_capable and sq == sk and drop == 0.0:
+            from vision_transformers_tpu.parallel.sequence import (
+                current_sequence_sharding,
+                sequence_parallel_attention,
+            )
+
+            ctx = current_sequence_sharding()
+            if (ctx is not None
+                    and sk % ctx.mesh.shape[ctx.seq_axis] == 0):
+                kv_keep = None
+                if key_padding_mask is not None:
+                    kv_keep = ~key_padding_mask  # (B, Sk) True = attendable
+                out = sequence_parallel_attention(
+                    q, k, v, ctx.mesh, seq_axis=ctx.seq_axis,
+                    data_axis=ctx.data_axis, kv_mask=kv_keep)
+                out = out.transpose(0, 2, 1, 3).reshape(b, sq, self.d_model)
+                return dense("out_proj")(out)
+
         rng = self.make_rng("dropout") if drop > 0.0 else None
         out = dot_product_attention(
             q, k, v, mask=mask, dropout_rate=drop, dropout_rng=rng)
@@ -86,7 +114,8 @@ class TransformerEncoderLayer(nn.Module):
 
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
         attn = CrossAttention(self.d_model, self.nhead, self.dropout,
-                              dtype=self.dtype, name="self_attn")
+                              sp_capable=True, dtype=self.dtype,
+                              name="self_attn")
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
 

@@ -24,14 +24,48 @@ tests/test_sequence_parallel.py on an 8-device CPU mesh.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class SequenceShardingCtx(NamedTuple):
+    mesh: Mesh
+    seq_axis: str
+    data_axis: Optional[str]
+
+
+_SEQ_CTX: list = []
+
+
+@contextlib.contextmanager
+def sequence_sharding(mesh: Mesh, seq_axis: str = "seq",
+                      data_axis: Optional[str] = None):
+    """Route self-attention of SP-aware modules (the DETR encoder) through
+    ring attention over ``mesh[seq_axis]`` while active.
+
+    Trace-time switch: wrap the ``jit``/``apply`` call so the flag is seen
+    when the model traces. Modules fall back to single-device attention
+    when the sequence doesn't divide the axis or dropout is active.
+
+        with sequence_sharding(mesh, "seq"):
+            out = detr.apply(params, images, masks)
+    """
+    _SEQ_CTX.append(SequenceShardingCtx(mesh, seq_axis, data_axis))
+    try:
+        yield
+    finally:
+        _SEQ_CTX.pop()
+
+
+def current_sequence_sharding() -> Optional[SequenceShardingCtx]:
+    return _SEQ_CTX[-1] if _SEQ_CTX else None
 
 
 def ring_attention_local(

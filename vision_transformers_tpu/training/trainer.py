@@ -187,7 +187,10 @@ def make_train_state(
     if tx is None:
         tx = make_optimizer(optimizer, lr, **opt_kwargs)
     init_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init(
+    # jit the init: eager init dispatches every op separately (and compiles
+    # each Pallas shape standalone) — measured 209 s for SwinV2-32 over the
+    # axon tunnel vs one ~10 s compiled program
+    variables = jax.jit(model.init)(
         {"params": init_rng, "dropout": dropout_rng},
         jnp.zeros_like(sample_input, dtype=jnp.float32)
         if sample_input.dtype == jnp.uint8 else sample_input,
@@ -304,7 +307,7 @@ def fit(
 
             init_rng, dropout_rng = jax.random.split(rng)
             sample = jnp.asarray(images0[:1])
-            variables = model.init(
+            variables = jax.jit(model.init)(
                 {"params": init_rng, "dropout": dropout_rng},
                 jnp.zeros_like(sample, dtype=jnp.float32)
                 if sample.dtype == jnp.uint8 else sample,
