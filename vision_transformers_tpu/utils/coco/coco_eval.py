@@ -76,8 +76,10 @@ def _evaluate_img_cat(pred_boxes, pred_scores, gt_boxes, area_rng, max_det,
     else:
         gt_iscrowd = np.asarray(gt_iscrowd, bool)
     gt_area = _box_area(gt_boxes)
+    # canonical bounds are CLOSED ([lo, hi], pycocotools evaluateImg uses
+    # `a < lo or a > hi`): area == 32² counts as both small and medium
     gt_ignore = (
-        (gt_area < area_rng[0]) | (gt_area >= area_rng[1]) | gt_iscrowd
+        (gt_area < area_rng[0]) | (gt_area > area_rng[1]) | gt_iscrowd
     )
     # sort GT: real first, ignored last (matching prefers real)
     gt_order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
@@ -94,7 +96,7 @@ def _evaluate_img_cat(pred_boxes, pred_scores, gt_boxes, area_rng, max_det,
 
     pred_area = _box_area(pred_boxes)
     det_out_of_range = (
-        (pred_area < area_rng[0]) | (pred_area >= area_rng[1])
+        (pred_area < area_rng[0]) | (pred_area > area_rng[1])
     )
 
     for ti, thr in enumerate(IOU_THRS):
