@@ -9,7 +9,7 @@ contain 1–3 solid colored rectangles (class = color) on a noisy
 background, a task DETR must localize + classify, and mAP must climb
 from ~0 to a clearly non-trivial value.
 
-Writes benchmarks/detr_convergence_r02.json.
+Writes benchmarks/detr_convergence_r03.json.
 Run: python benchmarks/detr_convergence.py  (SOAK_EPOCHS=N to override)
 """
 
@@ -75,7 +75,8 @@ def main():
     from vision_transformers_tpu.utils.coco.build_coco import CocoDetection
     from vision_transformers_tpu.utils.coco import transforms as T
 
-    epochs = int(os.environ.get("SOAK_EPOCHS", "150"))
+    epochs = int(os.environ.get("SOAK_EPOCHS", "500"))
+    lr_drop = int(os.environ.get("SOAK_LR_DROP", "400"))
     tr = T.Compose([
         T.RandomResize([96]),
         T.ToTensor(),
@@ -100,20 +101,20 @@ def main():
         hist = fit_detection(
             model, train, epochs, val_loader=val,
             num_classes=len(COLORS) + 1, max_targets=8, criterion=crit,
-            lr=2e-4, seed=0, verbose=False)
+            lr=2e-4, lr_drop=lr_drop, seed=0, verbose=False)
         wall = time.time() - t0
 
     maps = [m.get("AP", m.get("mAP", 0.0)) if isinstance(m, dict) else m
             for m in hist["metrics"]]
     out = {
         "task": "synthetic color-rectangles (1-3 objects, 4 classes, 96px)",
-        "epochs": epochs, "wall_s": round(wall, 1),
+        "epochs": epochs, "lr_drop": lr_drop, "wall_s": round(wall, 1),
         "loss": [round(float(v), 4) for v in hist["loss"]],
         "map_per_epoch": [round(float(v), 4) for v in maps],
         "final_map": round(float(maps[-1]), 4) if maps else None,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "detr_convergence_r02.json")
+                        "detr_convergence_r03.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"{epochs} epochs in {wall:.0f}s — loss "

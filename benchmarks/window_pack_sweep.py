@@ -41,7 +41,7 @@ STAGES = [  # (g = B·nW, n, heads, dh) — Swin-T @224 batch 128
 ]
 
 
-def timed_chain(fn, qkv, iters=10, chain=12):
+def timed_chain(fn, qkv, iters=8, chain=8):
     def chained(x):
         out = None
         for i in range(chain):
@@ -99,6 +99,9 @@ def batched_attention(qkv, heads, scale, blk):
 
 
 def main():
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "window_pack_sweep_r03.json")
+    rows = []
     for name, g, n, heads, dh in STAGES:
         hd = heads * dh
         qkv = jnp.asarray(
@@ -106,32 +109,32 @@ def main():
         scale = 1.0 / dh ** 0.5
         row = {"stage": name, "g": g, "heads": heads}
 
+        def record(key, fn):
+            try:
+                row[key] = round(timed_chain(fn, qkv), 3)
+            except Exception as e:  # noqa: BLE001
+                row[key] = str(e)[:60]
+            rows.append(None)  # placeholder so the flush below always runs
+            rows.pop()
+            with open(out_path, "w") as f:
+                json.dump(rows + [row], f, indent=1)
+            print(json.dumps({key: row[key], "stage": name}), flush=True)
+
         plan = window_pack_plan(g, n, heads, dh, 1, 2)
         if plan:
-            row["pack"] = round(timed_chain(
-                lambda x: window_packed_attention(
-                    x, None, heads, scale, plan), qkv), 3)
-            p, g_blk = plan
-            big = (p, g_blk * 2) if (g // p) % (g_blk * 2) == 0 else None
-            if big:
-                row["pack_vmem"] = round(timed_chain(
-                    lambda x: window_packed_attention(
-                        x, None, heads, scale, big), qkv), 3)
+            record("pack", lambda x: window_packed_attention(
+                x, None, heads, scale, plan))
 
-        def xla_ref(x):
-            return _window_pack_ref(x, None, heads, scale)
+        record("xla", lambda x: _window_pack_ref(x, None, heads, scale))
 
-        row["xla"] = round(timed_chain(xla_ref, qkv), 3)
-
-        for blk in (8, 32, 128):
+        for blk in (32, 128):
             if g % blk == 0:
-                try:
-                    row[f"batched{blk}"] = round(timed_chain(
-                        lambda x: batched_attention(x, heads, scale, blk),
-                        qkv), 3)
-                except Exception as e:  # noqa: BLE001
-                    row[f"batched{blk}"] = str(e)[:40]
-        print(json.dumps(row))
+                record(f"batched{blk}",
+                       lambda x, b=blk: batched_attention(x, heads, scale, b))
+        rows.append(row)
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print("wrote", out_path, flush=True)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,7 @@ def fit_detection(
     max_targets: int = 64,
     lr: float = 1e-4,
     lr_backbone: Optional[float] = 1e-5,
+    lr_drop: Optional[int] = None,
     weight_decay: float = 1e-4,
     grad_clip: float = 0.1,
     criterion: Optional[SetCriterion] = None,
@@ -127,15 +128,24 @@ def fit_detection(
              for path, _ in flat],
         )
 
+    def _sched(base):
+        # DETR lr-drop recipe (main.py --lr_drop in the original): x0.1
+        # after ``lr_drop`` epochs; needs len(train_loader) for the step
+        # boundary, so a sized loader is required when lr_drop is set.
+        if lr_drop is None:
+            return base
+        steps = len(train_loader) * lr_drop
+        return optax.piecewise_constant_schedule(base, {steps: 0.1})
+
     def make_tx(params):
         main = optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            optax.adamw(lr, weight_decay=weight_decay))
+            optax.adamw(_sched(lr), weight_decay=weight_decay))
         if lr_backbone is None:
             return main
         bb = optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            optax.adamw(lr_backbone, weight_decay=weight_decay))
+            optax.adamw(_sched(lr_backbone), weight_decay=weight_decay))
         return optax.multi_transform(
             {"main": main, "backbone": bb}, param_labels(params))
 
