@@ -150,7 +150,15 @@ def shifted_window_attention(
     (torchvision V2 semantics): q and k are L2-normalized along the head
     dim and scores scaled by exp(min(logit_scale, log 100)) per head. The
     per-head scale folds into q, so the scaled dot rides the same Pallas
-    kernel with scale=1."""
+    kernel with scale=1.
+
+    Dataflow (r3): the qkv and output projections run as DENSE full-map
+    GEMMs on (B, H, W, ·) — (B·H·W, C) rows, sublane-aligned — instead of
+    inside the window layout, whose (B·nW, 49, C) shape pads 49→56
+    sublanes and forces a relayout around every matmul. Projections are
+    pointwise over spatial positions, so they commute exactly with
+    pad/roll/partition/crop; only the attention core itself touches the
+    windowed layout."""
     b, h, w, c = x.shape
     wh, ww = window_size
     pad_b = (wh - h % wh) % wh
@@ -168,19 +176,22 @@ def shifted_window_attention(
         x = jnp.roll(x, shift=(-shift[0], -shift[1]), axis=(1, 2))
 
     n_win = (pad_h // wh) * (pad_w // ww)
-    xw = window_partition(x, wh, ww)  # (B·nW, N, C)
-    g, n, _ = xw.shape
+    n = wh * ww
+    g = b * n_win
+    dh = c // num_heads
 
-    qkv = xw @ qkv_kernel
+    # Dense qkv projection on the padded/rolled map (exact: pad rows are
+    # zero, so they project to the bias, same as projecting after the
+    # partition; roll is a permutation of positions).
+    qkv = x @ qkv_kernel
     if qkv_bias is not None:
         qkv = qkv + qkv_bias
-    dh = c // num_heads
 
     scale = 1.0 / dh ** 0.5
     if logit_scale is not None:
         # Cosine attention (SwinV2): normalize q/k and bake the clamped
-        # per-head temperature into q ON THE PACKED (B·nW, N, 3C) LAYOUT —
-        # a contiguous (g, n, 3, nH, dh) view, so the elementwise work
+        # per-head temperature into q on the dense (B, H, W, 3C) map —
+        # a contiguous (..., 3, nH, dh) view, so the elementwise work
         # fuses into the projection epilogue and the multi-window pack
         # kernel below stays reachable (it consumes the packed layout).
         # x·rsqrt(Σx²+ε) — NOT x/max(‖x‖,ε), whose backward is NaN at
@@ -192,16 +203,16 @@ def shifted_window_attention(
             sumsq = jnp.sum(t32 * t32, axis=-1, keepdims=True)
             return (t32 * jax.lax.rsqrt(sumsq + 1e-12)).astype(t.dtype)
 
-        q5 = qkv.reshape(g, n, 3, num_heads, dh)
+        q5 = qkv.reshape(b, pad_h, pad_w, 3, num_heads, dh)
         temp = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0)))
-        qn = _l2n(q5[:, :, 0]) * temp.reshape(1, 1, num_heads, 1).astype(
+        qn = _l2n(q5[..., 0, :, :]) * temp.reshape(num_heads, 1).astype(
             qkv.dtype)
-        kn = _l2n(q5[:, :, 1])
-        qkv = jnp.concatenate(
-            [qn[:, :, None], kn[:, :, None], q5[:, :, 2:3]], axis=2
-        ).reshape(g, n, 3 * c)
+        kn = _l2n(q5[..., 1, :, :])
+        qkv = jnp.stack([qn, kn, q5[..., 2, :, :]], axis=3).reshape(
+            b, pad_h, pad_w, 3 * c)
         scale = 1.0
-    qkv_packed = qkv  # (B·nW, N, 3C), [q | k | v] lanes — kernel layout
+    qkv_packed = window_partition(qkv, wh, ww)
+    # (B·nW, N, 3C), [q | k | v] lanes — kernel layout
 
     # Combined additive bias: relative-position bias (shared by all windows)
     # + per-window shift mask (shared by batch and heads). Shape (nW', nH,
@@ -259,15 +270,18 @@ def shifted_window_attention(
             dropout_rate=drop, dropout_rng=dropout_rng,
         )
         out = out.transpose(0, 2, 1, 3).reshape(g, n, c)
-    out = out @ proj_kernel
-    if proj_bias is not None:
-        out = out + proj_bias
-    # (projection dropout applied by the caller module)
 
     out = window_reverse(out, wh, ww, pad_h, pad_w)
     if sum(shift) > 0:
         out = jnp.roll(out, shift=(shift[0], shift[1]), axis=(1, 2))
-    return out[:, :h, :w, :]
+    out = out[:, :h, :w, :]
+    # Dense output projection on the cropped map (exact: per-position,
+    # and the cropped rows never reach downstream ops anyway).
+    out = out @ proj_kernel
+    if proj_bias is not None:
+        out = out + proj_bias
+    # (projection dropout applied by the caller module)
+    return out
 
 
 class ShiftedWindowAttention(nn.Module):
