@@ -1,10 +1,15 @@
 """Hierarchical-model throughput + per-stage MFU accounting (VERDICT r2 #2).
 
-Measures full-model bf16 inference for Swin-T/224 (window 7) and
-SwinV2-T/224 (window 8) at batch 128 on the real chip, and computes the
-analytic FLOP model used for the MFU numbers in PERFORMANCE.md.
+Covers the four hierarchical families: Swin-T/224 (window 7),
+SwinV2-T/224 (window 8), PVT-Tiny/224, Twins-SVT-S/224 — full-model bf16
+inference at batch 128 on the real chip, an analytic per-stage FLOP
+model for each family, and per-stage times via truncated-model
+differencing (stage k time = T(stages 1..k) − T(stages 1..k−1); stage 1
+includes the patch embed; merges/patch-embeds between stages are charged
+to the later stage).
 
-Run: python benchmarks/hier_bench.py [--models swint_224,swinv2t_224]
+Writes benchmarks/hier_bench_r03.json.
+Run: python benchmarks/hier_bench.py [--models swint_224,...] [--stages]
 """
 
 import argparse
@@ -22,40 +27,135 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12
 
 
-def swin_flops_per_image(image=224, patch=4, embed=96, depths=(2, 2, 6, 2),
-                         window=7, mlp_ratio=4.0):
-    """mult+add FLOPs (2·MACs) per image for the Swin family."""
-    macs = 0
+# --- analytic per-stage MACs per image -----------------------------------
+
+def swin_stage_macs(image=224, patch=4, embed=96, depths=(2, 2, 6, 2),
+                    window=7, mlp_ratio=4.0):
+    """Per-stage MACs for Swin; stage 1 includes the patch-embed conv,
+    stages 2+ include the preceding patch merge."""
     t = (image // patch) ** 2
-    macs += t * (patch * patch * 3) * embed          # patch-embed conv
     n = window * window
+    stages = []
     for i, depth in enumerate(depths):
         c = embed * 2 ** i
         ti = t // 4 ** i
+        macs = 0
+        if i == 0:
+            macs += t * (patch * patch * 3) * embed
+        else:
+            macs += ti * (4 * c // 2) * c  # merge: (t/4, 4·c_prev)→(·, 2·c_prev)
         per_block = (
-            3 * ti * c * c          # qkv projection
-            + 2 * ti * n * c        # scores + PV (window attention)
-            + ti * c * c            # out projection
-            + int(2 * mlp_ratio) * ti * c * c  # fc1 + fc2
+            3 * ti * c * c                       # qkv
+            + 2 * ti * n * c                     # scores + PV
+            + ti * c * c                         # out projection
+            + int(2 * mlp_ratio) * ti * c * c    # fc1 + fc2
         )
-        macs += depth * per_block
-        if i < len(depths) - 1:
-            macs += (ti // 4) * (4 * c) * (2 * c)    # patch merge reduction
-    return 2 * macs
+        stages.append(macs + depth * per_block)
+    return stages
 
 
-def bench_model(name, batch, iters=20, image=224):
+def pvt_stage_macs(image=224, patch=4, embed=(64, 128, 320, 512),
+                   heads=(1, 2, 5, 8), mlp=(8, 8, 4, 4),
+                   depths=(2, 2, 2, 2), sr=(8, 4, 2, 1)):
+    """Per-stage MACs for PVT (SRA attention; CLS token ignored, <0.5%)."""
+    stages = []
+    c_prev, t = 3, (image // patch) ** 2
+    for i, depth in enumerate(depths):
+        c = embed[i]
+        k = patch if i == 0 else 2
+        macs = t * (k * k * c_prev) * c  # patch embed i
+        r = sr[i]
+        tk = t // (r * r)
+        per_block = (
+            t * c * c                            # q
+            + (t * c * c if r > 1 else 0)        # sr reduction conv
+            + 2 * tk * c * c                     # kv
+            + 2 * t * tk * c                     # scores + PV
+            + t * c * c                          # out projection
+            + 2 * int(mlp[i]) * t * c * c        # fc1 + fc2
+        )
+        stages.append(macs + depth * per_block)
+        c_prev, t = c, t // 4
+    return stages
+
+
+def twins_stage_macs(image=224, patch=4, embed=(64, 128, 256, 512),
+                     heads=(2, 4, 8, 16), mlp=(4, 4, 4, 4),
+                     depths=(2, 2, 10, 4), sr=(8, 4, 2, 1),
+                     wss=(7, 7, 7, 7)):
+    """Per-stage MACs for Twins-SVT: blocks alternate LSA (even j,
+    window wss) and GSA (odd j, SRA with sr)."""
+    stages = []
+    c_prev, t = 3, (image // patch) ** 2
+    for i, depth in enumerate(depths):
+        c = embed[i]
+        k = patch if i == 0 else 2
+        macs = t * (k * k * c_prev) * c  # patch embed i
+        macs += t * 9 * c                # PEG depthwise 3x3 (after block 0)
+        r, n = sr[i], wss[i] * wss[i]
+        tk = t // (r * r)
+        lsa = (3 * t * c * c + 2 * t * n * c + t * c * c
+               + 2 * int(mlp[i]) * t * c * c)
+        gsa = (t * c * c + (t * c * c if r > 1 else 0) + 2 * tk * c * c
+               + 2 * t * tk * c + t * c * c + 2 * int(mlp[i]) * t * c * c)
+        n_lsa = (depth + 1) // 2
+        stages.append(macs + n_lsa * lsa + (depth - n_lsa) * gsa)
+        c_prev, t = c, t // 4
+    return stages
+
+
+# --- model builders (full + truncated to the first k stages) -------------
+
+def build(name, k=None):
+    """Model truncated to its first k stages (k=None: full)."""
     from vision_transformers_tpu.models.image_classification import (
-        SwinTransformer, SwinTransformerV2,
+        PVT, SwinTransformer, SwinTransformerV2, TwinSVT,
     )
     from vision_transformers_tpu.utils.args import get_args
 
     args = get_args(f"{name}_imagenet")
-    cls = SwinTransformerV2 if "v2" in name else SwinTransformer
-    model = cls(**args, dtype=jnp.bfloat16)
+    if name.startswith("swin"):
+        cls = SwinTransformerV2 if "v2" in name else SwinTransformer
+        if k is not None:
+            args["depths"] = args["depths"][:k]
+            args["num_heads"] = args["num_heads"][:k]
+        return cls(**args, dtype=jnp.bfloat16), args
+    if name.startswith("pvt"):
+        if k is not None:
+            args["num_stages"] = k
+        return PVT(**args, dtype=jnp.bfloat16), args
+    if name.startswith("twins"):
+        if k is not None:
+            for key in ("embed_dims", "num_heads", "mlp_ratios", "depths",
+                        "sr_ratios", "wss"):
+                args[key] = args[key][:k]
+        return TwinSVT(**args, dtype=jnp.bfloat16), args
+    raise ValueError(name)
+
+
+def stage_macs_for(name, args):
+    if name.startswith("swin"):
+        return swin_stage_macs(
+            image=args["image_size"], patch=args["patch_size"][0],
+            embed=args["embed_dim"], depths=tuple(args["depths"]),
+            window=args["window_size"][0], mlp_ratio=args["mlp_ratio"])
+    if name.startswith("pvt"):
+        return pvt_stage_macs(
+            image=args["image_size"], patch=args["patch_size"],
+            embed=args["embed_dims"], heads=args["num_heads"],
+            mlp=args["mlp_ratios"], depths=args["depths"],
+            sr=args["sr_ratios"])
+    return twins_stage_macs(
+        image=args["img_size"], patch=args["patch_size"],
+        embed=args["embed_dims"], heads=args["num_heads"],
+        mlp=args["mlp_ratios"], depths=args["depths"],
+        sr=args["sr_ratios"], wss=args["wss"])
+
+
+def time_model(model, batch, image, iters=20):
     x = jnp.asarray(
         np.random.RandomState(0).randn(batch, image, image, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x[:1])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     opts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
     fwd = jax.jit(lambda p, v: model.apply(p, v))
     fwd = fwd.lower(params, x).compile(compiler_options=opts)
@@ -65,27 +165,59 @@ def bench_model(name, batch, iters=20, image=224):
     for _ in range(iters):
         out = fwd(params, x)
     float(jnp.sum(out.astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / iters
-    ips = batch / dt
-    flops = swin_flops_per_image(
-        image=image, patch=args["patch_size"][0], embed=args["embed_dim"],
-        depths=tuple(args["depths"]), window=args["window_size"][0],
-        mlp_ratio=args["mlp_ratio"])
-    return {
-        "model": name, "batch": batch, "ms": round(dt * 1e3, 1),
-        "img_per_s": round(ips, 1),
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_model(name, batch, per_stage=False, iters=20):
+    model, args = build(name)
+    image = args.get("image_size") or args.get("img_size")
+    ms = time_model(model, batch, image, iters)
+    stages = stage_macs_for(name, args)
+    flops = 2 * sum(stages)
+    row = {
+        "model": name, "batch": batch, "ms": round(ms, 1),
+        "img_per_s": round(batch / ms * 1e3, 1),
         "gflop_per_img": round(flops / 1e9, 2),
-        "mfu": round(ips * flops / V5E_PEAK_FLOPS, 4),
+        "gflop_per_stage": [round(2 * m / 1e9, 2) for m in stages],
+        "mfu": round(batch / ms * 1e3 * flops / V5E_PEAK_FLOPS, 4),
     }
+    if per_stage:
+        n_stages = len(stages)
+        cum = []
+        for k in range(1, n_stages):  # k = n_stages is the full model
+            mk, _ = build(name, k)
+            cum.append(time_model(mk, batch, image, iters))
+        cum.append(ms)
+        stage_ms = [cum[0]] + [cum[i] - cum[i - 1] for i in range(1, n_stages)]
+        row["stage_ms"] = [round(v, 2) for v in stage_ms]
+        row["stage_mfu"] = [
+            round(2 * m * batch / (v / 1e3) / V5E_PEAK_FLOPS, 4)
+            if v > 0 else None
+            for m, v in zip(stages, stage_ms)]
+    return row
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="swint_224,swinv2t_224")
+    ap.add_argument(
+        "--models",
+        default="swint_224,swinv2t_224,pvt_tiny224,twins_svts224")
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--stages", action="store_true",
+                    help="per-stage timing via truncated models")
+    ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "hier_bench_r03.json")
+    rows = []
     for name in args.models.split(","):
-        print(json.dumps(bench_model(name.strip(), args.batch)))
+        row = bench_model(name.strip(), args.batch, per_stage=args.stages,
+                          iters=args.iters)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        with open(out_path, "w") as f:
+            json.dump(rows, f, indent=1)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,21 @@ _REGISTRY: Dict[str, Dict[str, Any]] = {
         "window_size": [8, 8], "mlp_ratio": 4.0, "dropout": 0.0,
         "attention_dropout": 0.0, "stochastic_depth_prob": 0.2,
     },
+    # ImageNet-scale PVT-Tiny / Twins-SVT-S (paper shapes) — hierarchical
+    # benchmark configs; field names follow each model's constructor.
+    "pvt_tiny224": {
+        "image_size": 224, "patch_size": 4,
+        "embed_dims": [64, 128, 320, 512], "num_heads": [1, 2, 5, 8],
+        "mlp_ratios": [8, 8, 4, 4], "qkv_bias": True,
+        "depths": [2, 2, 2, 2], "sr_ratios": [8, 4, 2, 1],
+    },
+    "twins_svts224": {
+        "img_size": 224, "patch_size": 4,
+        "embed_dims": [64, 128, 256, 512], "num_heads": [2, 4, 8, 16],
+        "mlp_ratios": [4, 4, 4, 4], "qkv_bias": True,
+        "depths": [2, 2, 10, 4], "sr_ratios": [8, 4, 2, 1],
+        "wss": [7, 7, 7, 7],
+    },
 }
 
 _DATASET_CLASSES = {
