@@ -97,29 +97,53 @@ def main():
                      dropout=0.0, backbone_norm="group", aux_loss=True)
         crit = SetCriterion(num_classes=len(COLORS) + 1)
 
+        # Chunked training with incremental artifact writes: a tunnel
+        # wedge mid-soak costs one chunk, not the run. The carried state
+        # keeps the optimizer step count, so the lr_drop boundary
+        # (schedule over optimizer steps) is chunking-invariant.
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "detr_convergence_r03.json")
+        chunk = int(os.environ.get("SOAK_CHUNK", "20"))
+        losses, maps = [], []
+        state = None
         t0 = time.time()
-        hist = fit_detection(
-            model, train, epochs, val_loader=val,
-            num_classes=len(COLORS) + 1, max_targets=8, criterion=crit,
-            lr=2e-4, lr_drop=lr_drop, seed=0, verbose=False)
-        wall = time.time() - t0
+        while len(losses) < epochs:
+            n = min(chunk, epochs - len(losses))
+            hist = fit_detection(
+                model, train, n, val_loader=val,
+                num_classes=len(COLORS) + 1, max_targets=8, criterion=crit,
+                lr=2e-4, lr_drop=lr_drop, seed=0, verbose=False,
+                state=state)
+            state = hist["final_state"]
+            losses += [round(float(v), 4) for v in hist["loss"]]
+            maps += [round(float(m.get("AP", m.get("mAP", 0.0))
+                                 if isinstance(m, dict) else m), 4)
+                     for m in hist["metrics"]]
+            out = {
+                "task": ("synthetic color-rectangles "
+                         "(1-3 objects, 4 classes, 96px)"),
+                "epochs": len(losses), "lr_drop": lr_drop,
+                "wall_s": round(time.time() - t0, 1),
+                "loss": losses, "map_per_epoch": maps,
+                "final_map": maps[-1] if maps else None,
+                "best_map": max(maps) if maps else None,
+            }
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"epoch {len(losses)}: loss {losses[-1]} "
+                  f"mAP {maps[-1]} (best {max(maps)})", flush=True)
+            # plateau stop: past the lr drop and no meaningful
+            # improvement across the last 100 epochs
+            if (len(maps) >= max(200, lr_drop + 60)
+                    and max(maps[-100:]) < max(maps[:-100]) + 0.005):
+                out["stopped"] = "plateau"
+                with open(path, "w") as f:
+                    json.dump(out, f, indent=1)
+                break
 
-    maps = [m.get("AP", m.get("mAP", 0.0)) if isinstance(m, dict) else m
-            for m in hist["metrics"]]
-    out = {
-        "task": "synthetic color-rectangles (1-3 objects, 4 classes, 96px)",
-        "epochs": epochs, "lr_drop": lr_drop, "wall_s": round(wall, 1),
-        "loss": [round(float(v), 4) for v in hist["loss"]],
-        "map_per_epoch": [round(float(v), 4) for v in maps],
-        "final_map": round(float(maps[-1]), 4) if maps else None,
-    }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "detr_convergence_r03.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"{epochs} epochs in {wall:.0f}s — loss "
-          f"{out['loss'][0]} -> {out['loss'][-1]}, mAP "
-          f"{maps[0] if maps else '?'} -> {out['final_map']}")
+    print(f"{out['epochs']} epochs in {out['wall_s']:.0f}s — loss "
+          f"{losses[0]} -> {losses[-1]}, mAP {maps[0]} -> {maps[-1]} "
+          f"(best {out['best_map']})")
     print("wrote", path)
 
 
