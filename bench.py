@@ -1,9 +1,25 @@
 """Headline benchmark: ViT-B/16 @224 images/sec/chip (BASELINE.json metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-``vs_baseline`` is measured throughput / target, where target = 95% of the
-single-chip bf16 roofline (the driver-defined north star; the PyTorch
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...}; the LAST
+line is the most complete measurement (the driver parses the last parseable
+line). ``vs_baseline`` is measured throughput / target, where target = 95% of
+the single-chip bf16 roofline (the driver-defined north star; the PyTorch
 reference publishes no throughput numbers at all — BASELINE.md).
+
+Wedge-proofing (round 4): the axon TPU tunnel can wedge so hard that backend
+*initialization* hangs in C (r3: `jax.default_backend()` hung >1h and zeroed
+the round's artifact). So this file is a supervisor that NEVER imports jax
+in the parent process:
+
+  1. run the measurement in a child (`bench.py --inner`) with a hard
+     per-attempt timeout, streaming its stdout live (the child prints the
+     inference-only JSON line the moment it is measured, before the train
+     section, so a mid-run wedge still leaves a parseable artifact);
+  2. if the first TPU attempt fails, immediately emit a CPU-backend
+     fallback line (honestly labeled ``"backend": "cpu"``) so the artifact
+     can never be empty;
+  3. keep retrying the TPU child on a bounded budget — a successful TPU
+     line printed later supersedes the fallback.
 
 Roofline model: ViT-B/16 @224 forward ≈ 35.1 GFLOP/image (mult+add
 convention) — per layer 2S·D·3D (QKV) + 4S²·D (attention) + 2S·D² (out) +
@@ -12,11 +28,10 @@ peak ≈ 197 TFLOP/s bf16.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def vit_b16_flops_per_image(s=197, d=768, mlp=3072, layers=12, patches=196):
@@ -33,7 +48,41 @@ def vit_b16_flops_per_image(s=197, d=768, mlp=3072, layers=12, patches=196):
 V5E_PEAK_FLOPS = 197e12  # bf16
 
 
-def main():
+def _result_line(images_per_sec, batch, backend, train_ips=None,
+                 train_mfu=None, partial=False):
+    flops = vit_b16_flops_per_image()
+    target = 0.95 * V5E_PEAK_FLOPS / flops
+    mfu = images_per_sec * flops / V5E_PEAK_FLOPS
+    rec = {
+        "metric": "vit_b16_224_bf16_infer",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / target, 4),
+        "mfu": round(mfu, 4),
+        "train_images_per_sec": None if train_ips is None else round(train_ips, 1),
+        "train_mfu": None if train_mfu is None else round(train_mfu, 4),
+        "batch": batch,
+        "backend": backend,
+    }
+    if partial:
+        rec["partial"] = True
+    return json.dumps(rec)
+
+
+def inner_main():
+    """The actual measurement. Runs in a child process (may hang if the
+    tunnel is wedged — the supervisor enforces the timeout)."""
+    import jax
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; only the config
+    # knob reliably pins CPU (tests/conftest.py). Honor the supervisor's
+    # fallback request before any backend initialization.
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
     from vision_transformers_tpu.models.image_classification import ViT
     from vision_transformers_tpu.utils.args import get_args
 
@@ -75,11 +124,12 @@ def main():
     float(s)  # one sync for the whole queued chain
     dt = time.perf_counter() - t0
     images_per_sec = batch * n_iters / dt
+    backend = jax.default_backend()
 
-    flops = vit_b16_flops_per_image()
-    roofline_ips = V5E_PEAK_FLOPS / flops
-    target = 0.95 * roofline_ips
-    mfu = images_per_sec * flops / V5E_PEAK_FLOPS
+    # Emit the inference result NOW — if the tunnel wedges during the train
+    # section the round still has a parseable artifact.
+    print(_result_line(images_per_sec, batch, backend, partial=True),
+          flush=True)
 
     # training step throughput (fwd+bwd+Adam ≈ 3× fwd FLOPs)
     train_ips = train_mfu = None
@@ -104,30 +154,112 @@ def main():
         for _ in range(10):
             state, l, _, _ = step(state, xt, labels, w, rng)
         float(l)
+        flops = vit_b16_flops_per_image()
         train_ips = tb * 10 / (time.perf_counter() - t0)
         train_mfu = train_ips * 3 * flops / V5E_PEAK_FLOPS
 
-    print(json.dumps({
-        "metric": "vit_b16_224_bf16_infer",
-        "value": round(images_per_sec, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / target, 4),
-        "mfu": round(mfu, 4),
-        "train_images_per_sec": None if train_ips is None else round(train_ips, 1),
-        "train_mfu": None if train_mfu is None else round(train_mfu, 4),
-        "batch": batch,
-        "backend": jax.default_backend(),
-    }))
+    print(_result_line(images_per_sec, batch, backend,
+                       train_ips=train_ips, train_mfu=train_mfu), flush=True)
+
+
+_CURRENT_CHILD = None
+
+
+def _kill_child_and_exit(signum, frame):
+    # `timeout`-style TERM must not orphan a hung inner process — a wedged
+    # child would keep the tunnel connection open.
+    if _CURRENT_CHILD is not None and _CURRENT_CHILD.poll() is None:
+        _CURRENT_CHILD.kill()
+    sys.exit(128 + signum)
+
+
+def _run_attempt(timeout, extra_env=None):
+    """Run `bench.py --inner` streaming stdout live; kill on timeout.
+
+    Returns (rc, saw_json_line). rc is None if killed on timeout.
+    """
+    global _CURRENT_CHILD
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--inner"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    _CURRENT_CHILD = proc
+    deadline = time.monotonic() + timeout
+    saw_json = False
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        budget = deadline - time.monotonic()
+        if budget <= 0:
+            proc.kill()
+            proc.wait()
+            sys.stderr.write("[bench supervisor] attempt timed out\n")
+            return None, saw_json
+        events = sel.select(timeout=min(budget, 5.0))
+        if events:
+            chunk = os.read(proc.stdout.fileno(), 65536).decode(
+                "utf-8", "replace")
+            if chunk:
+                buf += chunk
+                while "\n" in buf:
+                    line, buf = buf.split("\n", 1)
+                    if line.startswith('{"metric"'):
+                        print(line, flush=True)
+                        saw_json = True
+                    else:
+                        sys.stderr.write(line + "\n")
+            elif proc.poll() is not None:
+                return proc.returncode, saw_json
+        elif proc.poll() is not None:
+            return proc.returncode, saw_json
+
+
+def supervise():
+    # Per-attempt cap: compile (~40 s) + measure is normally <4 min; a
+    # wedged tunnel hangs forever, so cap generously at 8 min.
+    ATTEMPT_TIMEOUT = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", 480))
+    # Keep retrying for up to ~40 min total — if the driver's own window is
+    # shorter, the early partial/fallback lines are already on stdout.
+    TOTAL_BUDGET = int(os.environ.get("BENCH_TOTAL_BUDGET", 2400))
+    start = time.monotonic()
+
+    rc, saw = _run_attempt(ATTEMPT_TIMEOUT)
+    if rc == 0 and saw:
+        return
+
+    # First attempt failed → guarantee a parseable artifact right away with
+    # an honestly-labeled CPU fallback run, then keep trying the TPU.
+    sys.stderr.write("[bench supervisor] TPU attempt failed; "
+                     "emitting CPU fallback line\n")
+    _run_attempt(600, extra_env={"BENCH_FORCE_CPU": "1"})
+
+    attempt = 1
+    while time.monotonic() - start < TOTAL_BUDGET:
+        time.sleep(60)
+        attempt += 1
+        remaining = TOTAL_BUDGET - (time.monotonic() - start)
+        if remaining < 120:
+            break
+        sys.stderr.write(f"[bench supervisor] TPU retry #{attempt}\n")
+        rc, saw = _run_attempt(min(ATTEMPT_TIMEOUT, remaining))
+        if rc == 0 and saw:
+            return
+    sys.stderr.write("[bench supervisor] TPU never recovered within budget; "
+                     "CPU fallback line stands\n")
 
 
 if __name__ == "__main__":
-    # The tunnel to the chip occasionally wedges transiently; one retry
-    # keeps a flaky moment from zeroing out a round's benchmark.
-    try:
-        main()
-    except Exception:
-        import traceback
+    if "--inner" in sys.argv:
+        inner_main()
+    else:
+        import signal
 
-        traceback.print_exc()
-        time.sleep(20)
-        main()
+        signal.signal(signal.SIGTERM, _kill_child_and_exit)
+        signal.signal(signal.SIGINT, _kill_child_and_exit)
+        supervise()

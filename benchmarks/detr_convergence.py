@@ -9,7 +9,7 @@ contain 1–3 solid colored rectangles (class = color) on a noisy
 background, a task DETR must localize + classify, and mAP must climb
 from ~0 to a clearly non-trivial value.
 
-Writes benchmarks/detr_convergence_r03.json.
+Writes benchmarks/detr_convergence_r04.json.
 Run: python benchmarks/detr_convergence.py  (SOAK_EPOCHS=N to override)
 """
 
@@ -102,7 +102,7 @@ def main():
         # keeps the optimizer step count, so the lr_drop boundary
         # (schedule over optimizer steps) is chunking-invariant.
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "detr_convergence_r03.json")
+                            "detr_convergence_r04.json")
         chunk = int(os.environ.get("SOAK_CHUNK", "20"))
         losses, maps = [], []
         state = None

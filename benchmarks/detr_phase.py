@@ -163,7 +163,7 @@ def main():
             fl[key] * B / (phases[k] / 1e3) / PEAK, 4)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "detr_phase_r03.json")
+                       "detr_phase_r04.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))

@@ -11,7 +11,7 @@ teacher (strong: 80 on-device epochs), then three DeiT-tiny students on
 identical budgets: no-teacher control, hard distillation, soft
 distillation (reference α=0.5, τ=5).
 
-Writes benchmarks/distill_r03.json. Run: python benchmarks/distill_soak.py
+Writes benchmarks/distill_r04.json. Run: python benchmarks/distill_soak.py
 """
 
 import json
@@ -91,7 +91,7 @@ def main():
     tr = ArrayLoader(*train)
     te = ArrayLoader(*test)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "distill_r03.json")
+                       "distill_r04.json")
     for name, kwargs in (
         ("control_no_teacher", {}),
         ("hard_distill", {"teacher_fn": teacher_fn,

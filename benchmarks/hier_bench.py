@@ -8,7 +8,7 @@ differencing (stage k time = T(stages 1..k) − T(stages 1..k−1); stage 1
 includes the patch embed; merges/patch-embeds between stages are charged
 to the later stage).
 
-Writes benchmarks/hier_bench_r03.json.
+Writes benchmarks/hier_bench_r04.json.
 Run: python benchmarks/hier_bench.py [--models swint_224,...] [--stages]
 """
 
@@ -208,7 +208,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "hier_bench_r03.json")
+                            "hier_bench_r04.json")
     rows = []
     for name in args.models.split(","):
         row = bench_model(name.strip(), args.batch, per_stage=args.stages,

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 TPU measurement queue — short benchmarks first, soaks last.
+# Round-4 TPU measurement queue — short benchmarks first, soaks last.
 # Each step is timeout-bounded and logs to benchmarks/logs/; a wedged
 # tunnel mid-queue therefore costs one step, not the queue.
 # Run: bash benchmarks/run_tpu_queue.sh [short|soaks|all]
@@ -29,4 +29,5 @@ fi
 if [ "$mode" = soaks ] || [ "$mode" = all ]; then
   run distill_soak    7200  python benchmarks/distill_soak.py
   run detr_soak      10800  python benchmarks/detr_convergence.py
+  run zoo_soak       14400  python benchmarks/convergence_zoo_r04.py
 fi

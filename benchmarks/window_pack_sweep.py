@@ -100,7 +100,7 @@ def batched_attention(qkv, heads, scale, blk):
 
 def main():
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "window_pack_sweep_r03.json")
+                            "window_pack_sweep_r04.json")
     rows = []
     for name, g, n, heads, dh in STAGES:
         hd = heads * dh

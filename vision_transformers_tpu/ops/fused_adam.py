@@ -99,11 +99,16 @@ def _fused_leaf(p, m, v, g, scalars, interpret):
 
 
 def _jnp_leaf(p, m, v, g, b1, b2, c1, c2, neg_lr, wd, eps):
-    g = g.astype(jnp.float32)
-    m = b1 * m + (1.0 - b1) * g
-    v = b2 * v + (1.0 - b2) * (g * g)
-    upd = (m * c1) / (jnp.sqrt(v * c2) + eps) + wd * p
-    return p + neg_lr * upd, m, v
+    # fp32 math, but preserve the incoming leaf dtypes on the way out —
+    # promoting a bf16 param leaf to fp32 would change the state pytree and
+    # force a recompile under jit after one step (ADVICE r3).
+    g32 = g.astype(jnp.float32)
+    p32 = p.astype(jnp.float32)
+    m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+    v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g32 * g32)
+    upd = (m32 * c1) / (jnp.sqrt(v32 * c2) + eps) + wd * p32
+    return ((p32 + neg_lr * upd).astype(p.dtype),
+            m32.astype(m.dtype), v32.astype(v.dtype))
 
 
 def fused_adam_update(params, mu, nu, grads, count_inc, lr,

@@ -50,6 +50,8 @@ def _plan(r: int, d: int, n: int, itemsize: int):
     """Pick (block_rows, block_cols): weight block (d, BN) held across row
     steps, x row block (BR, d), out (BR, BN); fp32 LN temporaries ~3 x-block
     sized buffers."""
+    if _FORCE_BR and _FORCE_BN:  # manual override (both must be set)
+        return _FORCE_BR, _FORCE_BN
     for bn in (n, *(n // k for k in (2, 3, 4, 6, 8) if n % k == 0)):
         if bn % 128 and bn != n:
             continue
@@ -58,7 +60,13 @@ def _plan(r: int, d: int, n: int, itemsize: int):
             temps = 3 * br * d * 4 + br * bn * 4
             if blocks + temps <= _VMEM_TARGET:
                 return br, bn
-    return 128, min(n, 512)
+    # Fallback: bn MUST divide n (the grid is n // bn — a non-divisor would
+    # silently leave trailing output columns unwritten). Largest divisor of
+    # n that is a lane-aligned multiple of 128 and <= 512, else n itself.
+    for k in range(1, n + 1):
+        if n % k == 0 and (n // k) <= 512 and (n // k) % 128 == 0:
+            return 128, n // k
+    return 128, n
 
 
 def _ln_dense_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref,

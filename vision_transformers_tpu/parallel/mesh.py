@@ -95,11 +95,19 @@ def tree_paths(tree):
 
 # Params that are large but INTENTIONALLY replicated under TP: token/patch
 # embeddings, position embeddings/tables, classifier heads, class/dist
-# tokens, backbone convs (DETR ResNet), query embeddings.
+# tokens, backbone convs (DETR ResNet), query embeddings. Tokens are
+# anchored to word boundaries within a path ('/' or '_' or a trailing digit)
+# so e.g. a module named 'preserve' can't ride the 'sr' allowlist
+# (ADVICE r3: the old unanchored substring match silently excused params).
+_REPLICATED_OK_TOKENS = (
+    "patch_embed", "pos_embed", "pos_embedding", "position", "embedding",
+    "head", "cls_token", "class_token", "dist_token", "bias_table", "cpb",
+    "backbone", "query", "conv", "downsample", "merge", "reduction",
+    "norm", "sr", "input_proj", "ln",
+)
 _REPLICATED_OK = re.compile(
-    r".*(patch_embed|pos_embed|pos_embedding|position|embedding|head|"
-    r"cls_token|class_token|dist_token|bias_table|cpb_|backbone|query|"
-    r"conv|downsample|merge|reduction|norm|sr|input_proj)", re.IGNORECASE,
+    r"(^|/|_)(" + "|".join(_REPLICATED_OK_TOKENS) + r")\d*(_|/|$)",
+    re.IGNORECASE,
 )
 
 
@@ -119,7 +127,7 @@ def audit_tp_coverage(params, mesh: Optional[Mesh] = None,
         spec = param_partition_spec(path, attn)
         if any(a is not None for a in spec):
             continue
-        if _REPLICATED_OK.match(path):
+        if _REPLICATED_OK.search(path):
             continue
         missed.append(path)
     return missed

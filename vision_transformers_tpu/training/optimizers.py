@@ -48,6 +48,11 @@ def _fused_adam(learning_rate: Union[float, Callable], b1=0.9, b2=0.999,
 
     def update(grads, state, params=None):
         # optax-contract fallback (returns updates): jnp math, same result
+        if weight_decay and params is None:
+            # match optax.adamw: decoupled weight decay needs the params
+            raise ValueError(
+                "FusedAdam with weight_decay != 0 requires params in "
+                "update() (optax.adamw contract)")
         count_inc = state.count + 1
         t = count_inc.astype(jnp.float32)
         c1 = 1.0 / (1.0 - jnp.power(b1, t))
@@ -60,7 +65,7 @@ def _fused_adam(learning_rate: Union[float, Callable], b1=0.9, b2=0.999,
 
         def upd(m, v, p):
             base = (m * c1) / (jnp.sqrt(v * c2) + eps)
-            if weight_decay and params is not None:
+            if weight_decay:
                 base = base + weight_decay * p
             return -lr * base
 
