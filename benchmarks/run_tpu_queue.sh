@@ -17,13 +17,16 @@ run() {
 mode=${1:-short}
 
 if [ "$mode" = short ] || [ "$mode" = all ]; then
+  BENCH_ATTEMPT_TIMEOUT=420 BENCH_TOTAL_BUDGET=850 \
   run bench            900  python bench.py
   run hier_stages     2400  python benchmarks/hier_bench.py --stages
+  run adam_superleaf  1200  python benchmarks/adam_superleaf.py
   run layout_ablation 1200  python benchmarks/swin_layout_ablation.py
   run swin_residue    1800  python benchmarks/swin_residue.py
   run pack_sweep      1800  python benchmarks/window_pack_sweep.py
   run detr_phase      1800  python benchmarks/detr_phase.py
   run kernel_valid    1800  python benchmarks/kernel_validation.py
+  run pack_bias_dtype  900  python benchmarks/pack_bias_dtype.py
 fi
 
 if [ "$mode" = soaks ] || [ "$mode" = all ]; then
