@@ -82,12 +82,20 @@ def main():
         if name in results["runs"]:
             print(f"{name}: already done, skipping", flush=True)
             continue
-        model = ctor()
         t0 = time.time()
-        hist = fit_on_device(
-            model, train, test, epochs,
-            batch_size=256, normalize=normalize, augment=True,
-            lr=1e-4, optimizer="adam", seed=0, verbose=False)
+        try:
+            model = ctor()
+            hist = fit_on_device(
+                model, train, test, epochs,
+                batch_size=256, normalize=normalize, augment=True,
+                lr=1e-4, optimizer="adam", seed=0, verbose=False)
+        except Exception as e:  # unattended queue: record, move on
+            import traceback
+            traceback.print_exc()
+            results["runs"][name] = {"error": f"{type(e).__name__}: {e}"}
+            with open(out, "w") as f:
+                json.dump(results, f, indent=1)
+            continue
         wall = time.time() - t0
         run = {
             "wall_s": round(wall, 1),
