@@ -34,6 +34,9 @@ import numpy as np
 from vision_transformers_tpu.ops.fused_adam import _fused_leaf
 
 _ROW = 1024  # flat buffers are viewed as (n_rows, _ROW) by the kernel
+# pad the total so n_rows is a multiple of the kernel's 128-row block —
+# otherwise _fused_leaf degrades to tiny ragged row blocks (huge grids)
+_PAD_MULTIPLE = _ROW * 128
 
 
 class SuperleafMeta(NamedTuple):
@@ -63,7 +66,7 @@ def build_meta(params) -> SuperleafMeta:
     for s in sizes:
         offsets.append(off)
         off += s
-    total_padded = -(-off // _ROW) * _ROW
+    total_padded = -(-off // _PAD_MULTIPLE) * _PAD_MULTIPLE
     return SuperleafMeta(treedef, shapes, tuple(offsets), sizes, total_padded)
 
 
