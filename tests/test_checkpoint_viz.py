@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vision_transformers_tpu.models.image_classification import ViT
 from vision_transformers_tpu.training.trainer import make_train_state
@@ -13,6 +14,8 @@ from vision_transformers_tpu.utils.visualization import (
     plot_attention_maps,
     plot_patches,
 )
+
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
 
 
 def _state():

@@ -3,6 +3,8 @@ import pytest
 
 from vision_transformers_tpu import cli
 
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
+
 
 def test_model_family_mapping():
     from vision_transformers_tpu.models import image_classification as ic

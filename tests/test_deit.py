@@ -15,6 +15,8 @@ from vision_transformers_tpu.utils.distillation_loss import (
 
 from tests.synthetic_data import SyntheticLoader
 
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
+
 torch = pytest.importorskip("torch")
 
 

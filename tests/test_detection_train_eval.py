@@ -9,6 +9,8 @@ from vision_transformers_tpu.utils.coco.coco_eval import (
     evaluate_detections,
 )
 
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
+
 
 def test_iou_matrix():
     p = np.asarray([[0, 0, 10, 10.0]])

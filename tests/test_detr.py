@@ -14,6 +14,7 @@ from vision_transformers_tpu.models.object_detection import (
 )
 
 
+@pytest.mark.slow
 def test_transformer_shapes_and_masking():
     d, heads, q = 32, 4, 10
     tr = Transformer(d_model=d, nhead=heads, num_encoder_layers=2,
@@ -125,6 +126,7 @@ def _tiny_detr(aux=False):
                 backbone_norm="group")
 
 
+@pytest.mark.slow
 def test_detr_forward_shapes():
     model = _tiny_detr(aux=True)
     x = jnp.zeros((1, 64, 64, 3))
@@ -138,6 +140,7 @@ def test_detr_forward_shapes():
     assert len(out["aux_outputs"]) == 1  # 2 decoder layers → 1 aux
 
 
+@pytest.mark.slow
 def test_detr_train_step_reduces_loss():
     import optax
 
@@ -192,6 +195,7 @@ def test_detr_vit_backbone():
     assert out["pred_boxes"].shape == (1, 8, 4)
 
 
+@pytest.mark.slow
 def test_auction_matches_scipy_on_random_costs():
     """The on-device auction must produce valid matchings with near-scipy
     total cost (exact on most instances)."""

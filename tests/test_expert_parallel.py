@@ -7,12 +7,15 @@ MoE anywhere (SURVEY.md §2.7) — EP is capability surplus.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vision_transformers_tpu.parallel import make_mesh
 from vision_transformers_tpu.parallel.expert import (
     expert_parallel_mlp,
     moe_mlp_reference,
 )
+
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
 
 
 def _params(e=8, d=16, h=32, seed=0):

@@ -23,6 +23,8 @@ sys.path.insert(
 
 import hier_bench as hb  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
+
 
 def _xla_flops(model, image):
     x = jnp.zeros((1, image, image, 3), jnp.float32)

@@ -19,6 +19,8 @@ from vision_transformers_tpu.training.trainer import (
     train_step_fn,
 )
 
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
+
 
 def _tiny_vit():
     return ViT(image_size=16, patch_size=4, num_layers=2, num_heads=4,

@@ -7,9 +7,12 @@ pipeline parallelism (SURVEY.md §2.7).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vision_transformers_tpu.parallel import make_mesh
 from vision_transformers_tpu.parallel.pipeline import pipeline_apply
+
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
 
 
 def test_pipeline_matches_sequential_toy_stages():

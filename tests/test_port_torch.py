@@ -560,6 +560,7 @@ def test_port_detr_state_dict_structure_and_forward():
     assert bool(jnp.all(jnp.isfinite(out["pred_boxes"])))
 
 
+@pytest.mark.slow
 def test_fit_detection_from_ported_checkpoint(tmp_path):
     """End-to-end: port a (random) facebook-layout DETR checkpoint and
     continue training it through fit_detection(init_params=...) — the CLI

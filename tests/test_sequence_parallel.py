@@ -17,6 +17,8 @@ from vision_transformers_tpu.parallel.sequence import (
     sequence_parallel_attention,
 )
 
+pytestmark = pytest.mark.slow  # full-model / multi-device integration tier
+
 
 def _qkv(b=2, h=2, s=64, d=8, seed=0):
     rng = np.random.RandomState(seed)

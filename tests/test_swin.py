@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vision_transformers_tpu.models.image_classification.swin_transformer import (
     SwinTransformer,
@@ -17,6 +18,7 @@ def _tiny_swin(num_classes=10):
     )
 
 
+@pytest.mark.slow
 def test_swin_tiny_config_forward():
     args = get_args("swin_tiny_cifar100")
     model = SwinTransformer(**args)
@@ -63,6 +65,7 @@ def test_swin_stochastic_depth_train_vs_eval():
     assert jnp.allclose(y3, y4)
 
 
+@pytest.mark.slow
 def test_swin_overfits_synthetic():
     train = SyntheticLoader(32, 16, 16, 3, seed=7)
     hist = _tiny_swin(3).train_model(
@@ -107,6 +110,7 @@ def test_swin_v2_forward_and_param_structure():
     assert variables["params"]["merge0"]["norm"]["scale"].shape == (32,)
 
 
+@pytest.mark.slow
 def test_swin_v2_registry_and_cli_routing():
     from vision_transformers_tpu.cli import _model_for
     from vision_transformers_tpu.models.image_classification.swin_transformer import (
@@ -171,6 +175,7 @@ def test_swin_v2_grads_finite_with_window_padding():
     assert bool(jnp.all(jnp.isfinite(g_ls)))
 
 
+@pytest.mark.slow
 def test_swin_v2_overfits_synthetic():
     model = _tiny_swin_v2(num_classes=4)
     loader = SyntheticLoader(num_samples=32, batch_size=16, num_classes=4)

@@ -151,6 +151,7 @@ def test_run_study_finds_good_params():
     assert len(study.trials) == 12
 
 
+@pytest.mark.slow
 def test_hpo_objective_end_to_end():
     from vision_transformers_tpu.models.image_classification import ViT
     from vision_transformers_tpu.utils.optimization import objective
