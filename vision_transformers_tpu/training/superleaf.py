@@ -21,6 +21,11 @@ is an empirical question — benchmarks/adam_superleaf.py measures it on
 the chip and PERFORMANCE.md records the keep-or-kill. Reference baseline:
 the torch repo pays this inside ``optimizer.step()`` per tensor
 (reference vanilla_vit.py:239).
+
+Scope: single-chip / DP-replicated training only. A single flat buffer
+cannot carry per-leaf TP partition specs — under a 'model' mesh axis use
+the per-leaf paths (optax or ops/fused_adam), whose leaves inherit the
+param shardings (parallel/mesh.py).
 """
 
 from __future__ import annotations
