@@ -61,13 +61,14 @@ def main():
     only = os.environ.get("SOAK_ONLY", "")
     n_train = int(os.environ.get("SOAK_NTRAIN", "50000"))
     n_test = int(os.environ.get("SOAK_NTEST", "10000"))
+    batch = int(os.environ.get("SOAK_BATCH", "256"))
     train, test = make_procedural_dataset(n_train=n_train, n_test=n_test)
     normalize = ((0.5071, 0.4865, 0.4409), (0.2673, 0.2564, 0.2762))
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "convergence_zoo_r04.json")
     results = {"recipe": {
-        "optimizer": "adam", "lr": 1e-4, "batch": 256, "epochs": epochs,
+        "optimizer": "adam", "lr": 1e-4, "batch": batch, "epochs": epochs,
         "augment": "crop4+hflip+brightness (reference load_data.py:52)",
         "dataset": "procedural 100-class 50k/10k 32px (convergence_soak.py)",
     }, "runs": {}}
@@ -87,7 +88,7 @@ def main():
             model = ctor()
             hist = fit_on_device(
                 model, train, test, epochs,
-                batch_size=256, normalize=normalize, augment=True,
+                batch_size=batch, normalize=normalize, augment=True,
                 lr=1e-4, optimizer="adam", seed=0, verbose=False)
         except Exception as e:  # unattended queue: record, move on
             import traceback

@@ -19,13 +19,16 @@ import jax.numpy as jnp
 import numpy as np
 
 PEAK = 197e12
-B, IMG = 8, 512
+# Smoke knobs (CPU dry-run before burning TPU-window time on a crash).
+B = int(os.environ.get("DETR_PHASE_B", 8))
+IMG = int(os.environ.get("DETR_PHASE_IMG", 512))
+ITERS = int(os.environ.get("DETR_PHASE_ITERS", 10))
 D, NQ, NH, DFF, L = 256, 100, 8, 2048, 6
 NUM_CLASSES = 91
 S = (IMG // 32) ** 2  # backbone stride 32 -> 16x16 = 256 tokens
 
 
-def timed(fn, *args, iters=10):
+def timed(fn, *args, iters=ITERS):
     out = fn(*args)
     float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
     t0 = time.perf_counter()

@@ -156,9 +156,10 @@ def time_model(model, batch, image, iters=20):
     x = jnp.asarray(
         np.random.RandomState(0).randn(batch, image, image, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
-    opts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
     fwd = jax.jit(lambda p, v: model.apply(p, v))
-    fwd = fwd.lower(params, x).compile(compiler_options=opts)
+    if jax.default_backend() == "tpu":
+        opts = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+        fwd = fwd.lower(params, x).compile(compiler_options=opts)
     out = fwd(params, x)
     float(jnp.sum(out.astype(jnp.float32)))  # sync (block_until_ready no-op)
     t0 = time.perf_counter()

@@ -24,7 +24,7 @@ import vision_transformers_tpu.ops.windows as W
 from vision_transformers_tpu.models.image_classification import SwinTransformer
 from vision_transformers_tpu.utils.args import get_args
 
-BATCH = 128
+BATCH = int(os.environ.get("SWIN_BATCH", 128))
 
 
 def timed(fwd, params, x, iters=20):

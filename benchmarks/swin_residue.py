@@ -23,7 +23,7 @@ from vision_transformers_tpu.models.image_classification.swin_transformer import
     SwinTransformerBlock,
 )
 
-BATCH = 128
+BATCH = int(os.environ.get("SWIN_BATCH", 128))
 DT = jnp.bfloat16
 PEAK = 197e12
 HBM = 819e9  # v5e HBM bandwidth
