@@ -208,16 +208,28 @@ def run_step(name, argv, timeout_s, extra_env):
             return -1
 
 
+MAX_ATTEMPTS = int(os.environ.get("QUEUE_MAX_ATTEMPTS", 3))
+
+
 def main():
     os.makedirs(LOGS, exist_ok=True)
     start = time.monotonic()
     log(f"queue supervisor start; {len(STEPS)} steps, "
         f"deadline {DEADLINE_S}s")
     while True:
+        attempts = {k: v.get("attempts", 0)
+                    for k, v in load_state().items()}
         pending = [s for s in STEPS if not s[4]()]
         if not pending:
             log("all steps complete")
             return 0
+        # a step that keeps failing with the tunnel up must not hot-loop
+        runnable = [s for s in pending
+                    if attempts.get(s[0], 0) < MAX_ATTEMPTS]
+        if not runnable:
+            log(f"all pending steps exhausted {MAX_ATTEMPTS} attempts: "
+                f"{[s[0] for s in pending]}")
+            return 1
         if time.monotonic() - start > DEADLINE_S:
             log(f"deadline; incomplete: {[s[0] for s in pending]}")
             return 1
@@ -225,8 +237,8 @@ def main():
             log(f"tpu down; pending: {[s[0] for s in pending]}")
             time.sleep(PROBE_EVERY_S)
             continue
-        log(f"tpu UP — running {len(pending)} pending steps")
-        for name, argv, tmo, env, done, stale, backup in pending:
+        log(f"tpu UP — running {len(runnable)} pending steps")
+        for name, argv, tmo, env, done, stale, backup in runnable:
             art = os.path.join(HERE, backup) if backup else None
             if stale and stale() and art and os.path.exists(art):
                 log(f"{name}: deleting stale smoke artifact")
@@ -236,10 +248,19 @@ def main():
             log(f"{name}: start (timeout {tmo}s)")
             rc = run_step(name, argv, tmo, env)
             state = load_state()
-            state[name] = {"rc": rc, "ts": time.strftime("%H:%M:%S")}
-            save_state(state)
-            log(f"{name}: rc={rc} done={done()}")
-            if not done() and not probe():
+            prior_attempts = state.get(name, {}).get("attempts", 0)
+            state[name] = {"rc": rc, "ts": time.strftime("%H:%M:%S"),
+                           "attempts": prior_attempts}
+            save_state(state)  # rc first: rc_done() reads it
+            ok = done()
+            tunnel_up = ok or probe()
+            if not ok and tunnel_up:
+                # only a failure with a LIVE tunnel is a real attempt —
+                # wedge-induced timeouts must not exhaust the retry budget
+                state[name]["attempts"] = prior_attempts + 1
+                save_state(state)
+            log(f"{name}: rc={rc} done={ok}")
+            if not ok and not tunnel_up:
                 log("tunnel died mid-queue; back to waiting")
                 break
 
