@@ -63,6 +63,7 @@ def main():
 
     train, test = hard_dataset()
     results = {"dataset": "procedural-hard 100c 8k/2k 32px (+noise 40)",
+               "backend": jax.default_backend(),
                "teacher_epochs": TEACHER_EPOCHS,
                "student_epochs": STUDENT_EPOCHS,
                "recipe": "adam lr=1e-3, batch 256, alpha=0.5 tau=5.0"}

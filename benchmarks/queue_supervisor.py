@@ -122,9 +122,13 @@ def pack_bias_done():
 
 
 def distill_done():
+    # a full CPU run (insurance during a tunnel outage) is honest evidence
+    # but the chip rerun is still preferred — require backend == tpu here;
+    # the pre-rerun backup keeps the CPU artifact as .bak
     d = load_json("distill_r04.json")
     return (isinstance(d, dict) and "distillation_delta" in d
-            and d.get("teacher_epochs", 0) >= 80)
+            and d.get("teacher_epochs", 0) >= 80
+            and d.get("backend") == "tpu")
 
 
 def distill_stale():
