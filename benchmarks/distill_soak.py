@@ -91,8 +91,10 @@ def main():
     d_args = get_args("deit_tinydistil_cifar100")
     tr = ArrayLoader(*train)
     te = ArrayLoader(*test)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "distill_r04.json")
+    # DISTILL_OUT lets an insurance CPU run (tunnel outage) write to a side
+    # file so it can never race with / clobber the supervisor's chip artifact.
+    out = os.environ.get("DISTILL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "distill_r04.json")
     for name, kwargs in (
         ("control_no_teacher", {}),
         ("hard_distill", {"teacher_fn": teacher_fn,
