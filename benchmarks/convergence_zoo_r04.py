@@ -65,12 +65,19 @@ def main():
     train, test = make_procedural_dataset(n_train=n_train, n_test=n_test)
     normalize = ((0.5071, 0.4865, 0.4409), (0.2673, 0.2564, 0.2762))
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "convergence_zoo_r04.json")
+    import jax
+
+    # ZOO_OUT lets an insurance CPU run (tunnel outage) write to a side file:
+    # zoo_done() in the queue supervisor doesn't check backend, so a CPU run
+    # landing in the main artifact would wrongly mark the chip step complete.
+    out = os.environ.get("ZOO_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "convergence_zoo_r04.json")
     results = {"recipe": {
         "optimizer": "adam", "lr": 1e-4, "batch": batch, "epochs": epochs,
         "augment": "crop4+hflip+brightness (reference load_data.py:52)",
-        "dataset": "procedural 100-class 50k/10k 32px (convergence_soak.py)",
+        "dataset": (f"procedural 100-class {n_train//1000}k/{n_test//1000}k "
+                    "32px (convergence_soak.py)"),
+        "backend": jax.default_backend(),
     }, "runs": {}}
     if os.path.exists(out):  # resume: keep finished runs
         with open(out) as f:
