@@ -18,6 +18,8 @@ PyTorch reference `neeresh/vision-transformers`:
   copy-pasted train loops.
 - ``utils``: args registry, data pipelines (CIFAR/ImageNet/COCO), losses,
   metrics, checkpointing, visualization.
+- ``serving``: AOT export (``jax.export`` StableHLO artifacts, static batch
+  buckets) + request micro-batching — the deployment path.
 """
 
 __version__ = "0.1.0"
