@@ -116,6 +116,12 @@ def detr_phase_done():
             and "train_step" in d.get("measured_ms", {}))
 
 
+def serving_done():
+    d = load_json("serving_bench_r04.json")
+    return (isinstance(d, dict) and d.get("backend") == "tpu"
+            and len(d.get("buckets", {})) >= 4)
+
+
 def pack_bias_done():
     d = load_json("pack_bias_dtype_r04.json")
     return isinstance(d, dict) and d.get("backend") == "tpu"
@@ -177,6 +183,8 @@ STEPS = [
      {}, rc_done("kernel_valid"), None, None),
     ("pack_bias_dtype", [PY, "benchmarks/pack_bias_dtype.py"], 900,
      {}, pack_bias_done, None, None),
+    ("serving", [PY, "benchmarks/serving_bench.py"], 1200,
+     {}, serving_done, None, None),
     ("distill_soak", [PY, "benchmarks/distill_soak.py"], 7200,
      {}, distill_done, distill_stale, "distill_r04.json"),
     ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
