@@ -25,6 +25,11 @@ platform so a mismatch fails loudly at load, not silently at 100× cost.
 Params are shipped beside the StableHLO (flax msgpack), not baked into it
 as constants: the graph stays small and version-diffable, and the same
 artifact can be refreshed with newer weights without re-exporting.
+
+Multi-chip serving: pass a ``jax.sharding.Mesh`` to ``export_classifier``
+and the artifact becomes a data-parallel SPMD program (params replicated,
+batch sharded over ``data_axis``); ``load_classifier(dir, mesh=...)``
+binds it to a same-size mesh at serve time.
 """
 
 from __future__ import annotations
@@ -51,6 +56,13 @@ def _forward_fn(model) -> Callable:
     return fwd
 
 
+def _dp_shardings(mesh, data_axis: str):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return (NamedSharding(mesh, PartitionSpec()),           # params: replicated
+            NamedSharding(mesh, PartitionSpec(data_axis)))  # batch-sharded
+
+
 def export_classifier(
     model,
     params,
@@ -59,6 +71,8 @@ def export_classifier(
     *,
     buckets: Sequence[int] = (1, 8, 32),
     dtype: Any = jnp.float32,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
 ) -> dict:
     """Export ``model.apply({'params': params}, x, deterministic=True)``
     for each batch bucket to ``out_dir`` and return the manifest.
@@ -66,10 +80,23 @@ def export_classifier(
     ``input_shape`` is the per-image shape, e.g. ``(224, 224, 3)``;
     ``dtype`` is the INPUT dtype the server will feed (the model's own
     compute dtype is whatever it was constructed with).
+
+    With ``mesh``, the export is an SPMD data-parallel program: params
+    replicated, batch sharded over ``data_axis`` (buckets must divide
+    evenly). The artifact then requires a same-size mesh at load time —
+    multi-chip serving without the model code, same as single-chip.
     """
     buckets = sorted(set(int(b) for b in buckets))
     if not buckets or buckets[0] < 1:
         raise ValueError(f"buckets must be positive ints, got {buckets}")
+    if mesh is not None:
+        n_shards = mesh.shape[data_axis]
+        bad = [b for b in buckets if b % n_shards]
+        if bad:
+            raise ValueError(
+                f"buckets {bad} not divisible by mesh axis "
+                f"'{data_axis}'={n_shards}"
+            )
     os.makedirs(out_dir, exist_ok=True)
 
     from flax import serialization
@@ -83,7 +110,13 @@ def export_classifier(
     out_shapes = {}
     for b in buckets:
         x_spec = jax.ShapeDtypeStruct((b, *input_shape), dtype)
-        exported = jax.export.export(jax.jit(fwd))(param_specs, x_spec)
+        if mesh is None:
+            jitted = jax.jit(fwd)
+        else:
+            p_sh, x_sh = _dp_shardings(mesh, data_axis)
+            jitted = jax.jit(fwd, in_shardings=(p_sh, x_sh),
+                             out_shardings=x_sh)
+        exported = jax.export.export(jitted)(param_specs, x_spec)
         name = _FWD_FMT.format(b=b)
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exported.serialize())
@@ -96,6 +129,8 @@ def export_classifier(
     manifest = {
         "format_version": _FORMAT_VERSION,
         "platforms": list(exported.platforms),
+        "nr_devices": exported.nr_devices,
+        "data_axis": data_axis if mesh is not None else None,
         "buckets": buckets,
         "input_shape": list(input_shape),
         "input_dtype": jnp.dtype(dtype).name,
@@ -118,10 +153,12 @@ class ServingClassifier:
     the largest bucket (full chunks run un-padded).
     """
 
-    def __init__(self, manifest: dict, calls: dict, params):
+    def __init__(self, manifest: dict, calls: dict, params,
+                 x_sharding=None):
         self.manifest = manifest
         self._calls = calls  # bucket -> callable(params, x)
         self._params = params
+        self._x_sharding = x_sharding  # SPMD artifacts: batch placement
         self.buckets = sorted(calls)
         self.input_shape = tuple(manifest["input_shape"])
         self.input_dtype = jnp.dtype(manifest["input_dtype"])
@@ -138,6 +175,8 @@ class ServingClassifier:
             x = jnp.concatenate(
                 [x, jnp.zeros((b - n, *x.shape[1:]), x.dtype)], axis=0
             )
+        if self._x_sharding is not None:
+            x = jax.device_put(x, self._x_sharding)
         out = self._calls[b](self._params, x)
         return out[:n]
 
@@ -161,8 +200,15 @@ class ServingClassifier:
         return jnp.concatenate(parts, axis=0)
 
 
-def load_classifier(artifact_dir: str) -> ServingClassifier:
-    """Load an exported artifact; fails loudly on a platform mismatch."""
+def load_classifier(
+    artifact_dir: str,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> ServingClassifier:
+    """Load an exported artifact; fails loudly on a platform mismatch.
+
+    An SPMD artifact (exported with a mesh) requires ``mesh`` with the
+    same total device count and the manifest's ``data_axis``.
+    """
     with open(os.path.join(artifact_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     if manifest.get("format_version") != _FORMAT_VERSION:
@@ -177,19 +223,29 @@ def load_classifier(artifact_dir: str) -> ServingClassifier:
             f"'{backend}': kernel paths are chosen at export-trace time — "
             f"re-export on the serving platform"
         )
+    nr_devices = manifest.get("nr_devices", 1)
+    x_sharding = p_sharding = None
+    if nr_devices > 1:
+        if mesh is None or mesh.size != nr_devices:
+            raise RuntimeError(
+                f"SPMD artifact needs a {nr_devices}-device mesh, got "
+                f"{'none' if mesh is None else mesh.size}"
+            )
+        p_sharding, x_sharding = _dp_shardings(mesh, manifest["data_axis"])
 
     from flax import serialization
 
     with open(os.path.join(artifact_dir, manifest["params_file"]), "rb") as f:
         params = serialization.msgpack_restore(f.read())
-    params = jax.device_put(params)
+    params = (jax.device_put(params) if p_sharding is None
+              else jax.device_put(params, p_sharding))
 
     calls = {}
     for b_str, name in manifest["files"].items():
         with open(os.path.join(artifact_dir, name), "rb") as f:
             exported = jax.export.deserialize(f.read())
         calls[int(b_str)] = jax.jit(exported.call)
-    return ServingClassifier(manifest, calls, params)
+    return ServingClassifier(manifest, calls, params, x_sharding=x_sharding)
 
 
 class Microbatcher:
