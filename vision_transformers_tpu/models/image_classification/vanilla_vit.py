@@ -51,10 +51,12 @@ class EncoderBlock(nn.Module):
     dropout: float = 0.0
     attention_dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False  # serving-time w8a8 projections/MLP (ops/quant.py)
 
     def _use_fused_block(self, x, deterministic, return_weights) -> bool:
         return (
             USE_FUSED_BLOCK
+            and not self.quant8  # fused kernel reads fp kernels
             and deterministic
             and not return_weights
             and not self.is_initializing()   # modular path creates params
@@ -90,7 +92,8 @@ class EncoderBlock(nn.Module):
             attn = SelfAttention(
                 self.hidden_dim, self.num_heads,
                 attention_dropout=self.attention_dropout,
-                dtype=self.dtype, name="self_attention",
+                dtype=self.dtype, quant8=self.quant8,
+                name="self_attention",
             )
             if return_weights:
                 y, weights = attn(y, deterministic=deterministic,
@@ -101,7 +104,8 @@ class EncoderBlock(nn.Module):
             x = x + y
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
-        y = MLPBlock(self.mlp_dim, dropout=self.dropout, dtype=self.dtype, name="mlp")(
+        y = MLPBlock(self.mlp_dim, dropout=self.dropout, dtype=self.dtype,
+                     quant8=self.quant8, name="mlp")(
             y, deterministic=deterministic
         )
         out = x + y
@@ -123,6 +127,7 @@ class Encoder(nn.Module):
     attention_dropout: float = 0.0
     remat: bool = False  # rematerialize blocks: FLOPs for activation memory
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, return_weights: bool = False):
@@ -142,7 +147,8 @@ class Encoder(nn.Module):
             block = block_cls(
                 self.num_heads, self.hidden_dim, self.mlp_dim,
                 self.dropout, self.attention_dropout,
-                dtype=self.dtype, name=f"encoder_layer_{i}",
+                dtype=self.dtype, quant8=self.quant8,
+                name=f"encoder_layer_{i}",
             )
             if return_weights:
                 x, w = block(x, deterministic, True)
@@ -167,6 +173,7 @@ class ViT(nn.Module, TrainableModel):
     num_classes: int = 1000
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False  # serving-time w8a8 encoder (ops/quant.py)
 
     def setup(self):
         assert self.image_size % self.patch_size == 0, \
@@ -188,6 +195,7 @@ class ViT(nn.Module, TrainableModel):
             attention_dropout=self.attention_dropout,
             remat=self.remat,
             dtype=self.dtype,
+            quant8=self.quant8,
         )
         self.head = nn.Dense(
             self.num_classes,

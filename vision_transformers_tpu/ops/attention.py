@@ -136,6 +136,7 @@ class SelfAttention(nn.Module):
     attention_dropout: float = 0.0
     out_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False  # serving-time w8a8 projections (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True, return_weights: bool = False):
@@ -144,13 +145,19 @@ class SelfAttention(nn.Module):
         dh = self.hidden_dim // h
         assert dh * h == self.hidden_dim, "hidden_dim not divisible by heads"
 
-        qkv = nn.Dense(
-            3 * self.hidden_dim,
-            kernel_init=xavier_uniform_init(),
-            bias_init=zeros_init,
-            dtype=self.dtype,
-            name="qkv",
-        )(x)
+        if self.quant8:
+            from vision_transformers_tpu.ops.quant import QuantDense
+
+            qkv = QuantDense(
+                3 * self.hidden_dim, dtype=self.dtype, name="qkv")(x)
+        else:
+            qkv = nn.Dense(
+                3 * self.hidden_dim,
+                kernel_init=xavier_uniform_init(),
+                bias_init=zeros_init,
+                dtype=self.dtype,
+                name="qkv",
+            )(x)
 
         drop = 0.0 if deterministic else self.attention_dropout
         rng = self.make_rng("dropout") if drop > 0.0 else None
@@ -190,14 +197,21 @@ class SelfAttention(nn.Module):
                     q, k, v, dropout_rate=drop, dropout_rng=rng
                 )
             out = out.transpose(0, 2, 1, 3).reshape(b, s, self.hidden_dim)
-        out = nn.Dense(
-            self.hidden_dim,
-            use_bias=self.out_bias,
-            kernel_init=xavier_uniform_init(),
-            bias_init=zeros_init,
-            dtype=self.dtype,
-            name="out",
-        )(out)
+        if self.quant8:
+            from vision_transformers_tpu.ops.quant import QuantDense
+
+            out = QuantDense(
+                self.hidden_dim, use_bias=self.out_bias,
+                dtype=self.dtype, name="out")(out)
+        else:
+            out = nn.Dense(
+                self.hidden_dim,
+                use_bias=self.out_bias,
+                kernel_init=xavier_uniform_init(),
+                bias_init=zeros_init,
+                dtype=self.dtype,
+                name="out",
+            )(out)
         if return_weights:
             return out, weights
         return out

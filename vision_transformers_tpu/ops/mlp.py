@@ -40,26 +40,35 @@ class MLPBlock(nn.Module):
     out_dim: Optional[int] = None
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant8: bool = False  # serving-time w8a8 (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_dim = self.out_dim if self.out_dim is not None else x.shape[-1]
-        x = nn.Dense(
-            self.mlp_dim,
-            kernel_init=xavier_uniform_init(),
-            bias_init=tiny_normal_init(),
-            dtype=self.dtype,
-            name="fc1",
-        )(x)
+        if self.quant8:
+            from vision_transformers_tpu.ops.quant import QuantDense
+
+            dense1 = QuantDense(self.mlp_dim, dtype=self.dtype, name="fc1")
+            dense2 = QuantDense(out_dim, dtype=self.dtype, name="fc2")
+        else:
+            dense1 = nn.Dense(
+                self.mlp_dim,
+                kernel_init=xavier_uniform_init(),
+                bias_init=tiny_normal_init(),
+                dtype=self.dtype,
+                name="fc1",
+            )
+            dense2 = nn.Dense(
+                out_dim,
+                kernel_init=xavier_uniform_init(),
+                bias_init=tiny_normal_init(),
+                dtype=self.dtype,
+                name="fc2",
+            )
+        x = dense1(x)
         x = gelu_for(self.dtype)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(
-            out_dim,
-            kernel_init=xavier_uniform_init(),
-            bias_init=tiny_normal_init(),
-            dtype=self.dtype,
-            name="fc2",
-        )(x)
+        x = dense2(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 

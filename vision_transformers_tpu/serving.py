@@ -56,6 +56,46 @@ def _forward_fn(model) -> Callable:
     return fwd
 
 
+_QUANT_TARGETS = {  # parent module -> Dense children QuantDense replaces
+    "self_attention": ("qkv", "out"),
+    "mlp": ("fc1", "fc2"),
+}
+
+
+def quantize_classifier(model, params):
+    """Post-training int8 (w8a8) quantization for serving.
+
+    Returns ``(model.clone(quant8=True), transformed params)``: every
+    encoder projection/MLP Dense kernel becomes int8 per-channel weights +
+    scales (ops/quant.py), activations quantize dynamically at run time —
+    no calibration set needed. TPU v5e runs s8×s8→s32 on the MXU at 2× the
+    bf16 rate, so this roughly doubles the FLOP-roofline ceiling of the
+    FLOP-bound encoder matmuls. Patch embed and head stay in the float
+    dtype (a few % of time; the head is accuracy-critical).
+    """
+    if not hasattr(model, "quant8"):
+        raise ValueError(
+            f"{type(model).__name__} has no quant8 serving path")
+
+    from vision_transformers_tpu.ops.quant import quantize_dense_params
+
+    from collections.abc import Mapping
+
+    def walk(tree, parent):
+        out = {}
+        for key, sub in tree.items():
+            if (isinstance(sub, Mapping) and "kernel" in sub
+                    and key in _QUANT_TARGETS.get(parent, ())):
+                out[key] = quantize_dense_params(dict(sub))
+            elif isinstance(sub, Mapping):
+                out[key] = walk(sub, key)
+            else:
+                out[key] = sub
+        return out
+
+    return model.clone(quant8=True), walk(params, "")
+
+
 def _dp_shardings(mesh, data_axis: str):
     from jax.sharding import NamedSharding, PartitionSpec
 
