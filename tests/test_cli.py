@@ -65,3 +65,33 @@ def test_fit_checkpoints_when_configured(tmp_path):
     fit(model, train, train, epochs=2, verbose=False,
         checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=1)
     assert available_checkpoints(str(tmp_path / "ck")) == [1, 2]
+
+
+def test_cli_export_serving_artifact(tmp_path):
+    """--export writes a loadable AOT artifact after training (and
+    --export-int8 quantizes it)."""
+    import pickle
+
+    base = tmp_path / "cifar-100-python"
+    base.mkdir()
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 64), ("test", 32)):
+        data = {
+            b"data": rng.randint(0, 255, (n, 3072), dtype=np.uint8),
+            b"fine_labels": rng.randint(0, 100, n).tolist(),
+        }
+        with open(base / split, "wb") as f:
+            pickle.dump(data, f)
+
+    art = tmp_path / "artifact"
+    cli.main([
+        "vit_tiny_cifar100", "--epochs", "1", "--batch-size", "32",
+        "--val-split", "0.25", "--data-root", str(tmp_path), "--lr", "1e-3",
+        "--export", str(art), "--export-buckets", "2,4", "--export-int8",
+    ])
+    from vision_transformers_tpu import serving
+
+    clf = serving.load_classifier(str(art))
+    assert clf.manifest["buckets"] == [2, 4]
+    out = clf.predict(np.zeros((3, 32, 32, 3), np.float32))
+    assert out.shape == (3, 100)

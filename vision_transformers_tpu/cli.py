@@ -54,7 +54,10 @@ def run_reference_main(model_name: str, epochs: int = 100,
                        num_workers: int = 4, data_root: str = "./data",
                        lr: float = 1e-4, on_device: bool = False,
                        bf16: bool = False,
-                       init_from_torch: Optional[str] = None, **fit_kwargs):
+                       init_from_torch: Optional[str] = None,
+                       export_dir: Optional[str] = None,
+                       export_buckets=(1, 8, 32),
+                       export_int8: bool = False, **fit_kwargs):
     """The reference's per-model __main__ recipe (vanilla_vit.py:311-324):
     loaders → args → model → train_model. ``on_device=True`` (CIFAR only)
     uses the device-resident epoch path (training.device_data)."""
@@ -127,15 +130,29 @@ def run_reference_main(model_name: str, epochs: int = 100,
             perm = np.random.RandomState(0).permutation(n)
             val = (train[0][perm[:n_val]], train[1][perm[:n_val]])
             train = (train[0][perm[n_val:]], train[1][perm[n_val:]])
-        return fit_on_device(
+        metrics = fit_on_device(
             model, train, test, epochs, val_data=val,
             batch_size=batch_size, normalize=_STATS[dataset.lower()],
             lr=lr, **fit_kwargs,
         )
-    return model.train_model(
-        model, train_loader, test_loader, epochs, val_loader,
-        lr=lr, **fit_kwargs,
-    )
+    else:
+        metrics = model.train_model(
+            model, train_loader, test_loader, epochs, val_loader,
+            lr=lr, **fit_kwargs,
+        )
+    if export_dir:
+        from vision_transformers_tpu import serving
+
+        params = metrics["final_state"].params
+        export_model, export_params = (
+            serving.quantize_classifier(model, params)
+            if export_int8 else (model, params))
+        img = args.get("image_size") or 32
+        serving.export_classifier(
+            export_model, export_params, (img, img, 3), export_dir,
+            buckets=export_buckets)
+        print(f"exported serving artifact to {export_dir}")
+    return metrics
 
 
 def run_detection_main(coco_path: str, epochs: int = 300,
@@ -194,8 +211,21 @@ def main(argv: Optional[list] = None):
     p.add_argument("--init-from-torch", default=None, metavar="CKPT",
                    help="torch reference state_dict (.pt/.npz) to port and "
                         "continue training from (utils/port_torch.py)")
+    p.add_argument("--export", default=None, metavar="DIR",
+                   help="after training, export an AOT serving artifact "
+                        "(serving.export_classifier) to DIR")
+    p.add_argument("--export-buckets", default="1,8,32",
+                   help="serving batch buckets, csv (with --export)")
+    p.add_argument("--export-int8", action="store_true",
+                   help="post-training int8 w8a8 quantization before export")
     a = p.parse_args(argv)
     extra = {"bf16": a.bf16, "init_from_torch": a.init_from_torch}
+    if a.export:
+        extra.update(
+            export_dir=a.export, export_int8=a.export_int8,
+            export_buckets=tuple(
+                int(b) for b in a.export_buckets.split(",")),
+        )
     if a.on_device:
         extra["on_device"] = True
     else:
