@@ -69,3 +69,19 @@ def test_spmd_predict_parity(artifact, model_and_params, mesh):
             {"params": params}, jnp.asarray(x), deterministic=True))
         assert got.shape == (n, 10)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_spmd_export_composes(model_and_params, mesh, tmp_path):
+    """PTQ int8 and mesh-sharded export together: the int8 dot_general
+    must partition under GSPMD like the fp matmul it replaces."""
+    model, params = model_and_params
+    qmodel, qparams = serving.quantize_classifier(model, params)
+    out = str(tmp_path)
+    serving.export_classifier(qmodel, qparams, SHAPE, out,
+                              buckets=(8,), mesh=mesh)
+    clf = serving.load_classifier(out, mesh=mesh)
+    x = np.random.RandomState(3).randn(8, *SHAPE).astype(np.float32)
+    want = np.asarray(qmodel.apply({"params": qparams}, jnp.asarray(x),
+                                   deterministic=True))
+    np.testing.assert_allclose(np.asarray(clf.predict(x)), want,
+                               rtol=2e-5, atol=2e-5)
