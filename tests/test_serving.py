@@ -134,3 +134,35 @@ def test_microbatcher_closed_rejects(artifact):
     mb.close()
     with pytest.raises(RuntimeError, match="closed"):
         mb.submit(np.zeros(SHAPE, np.float32))
+
+
+@pytest.mark.parametrize("family", ["swin", "pvt"])
+def test_serving_covers_other_families(family, tmp_path):
+    """export_classifier is model-agnostic: windowed (Swin) and pyramid
+    (PVT) families export/load/serve with the same API."""
+    if family == "swin":
+        from vision_transformers_tpu.models.image_classification import (
+            SwinTransformer,
+        )
+
+        model = SwinTransformer(
+            image_size=32, patch_size=[2, 2], embed_dim=32,
+            depths=[1, 1], num_heads=[2, 4], window_size=[4, 4],
+            num_classes=10)
+    else:
+        from vision_transformers_tpu.models.image_classification import PVT
+
+        model = PVT(image_size=32, patch_size=4, num_classes=10,
+                    embed_dims=[16, 32], num_heads=[1, 2], depths=[1, 1],
+                    mlp_ratios=[2, 2], sr_ratios=[4, 2], num_stages=2)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *SHAPE), jnp.float32))
+    params = variables["params"]
+    out = str(tmp_path)
+    serving.export_classifier(model, params, SHAPE, out, buckets=(2,))
+    clf = serving.load_classifier(out)
+    x = np.random.RandomState(0).randn(2, *SHAPE).astype(np.float32)
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                  deterministic=True))
+    np.testing.assert_allclose(np.asarray(clf.predict(x)), want,
+                               rtol=2e-5, atol=2e-5)
