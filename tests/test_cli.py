@@ -30,8 +30,8 @@ def test_unknown_family_exits():
         cli._model_for("nope_cifar100")
 
 
-def test_cli_end_to_end_on_synthetic_cifar(tmp_path, capsys):
-    """Full CLI run on a miniature CIFAR tree: 1 epoch, tiny batch."""
+def _make_synthetic_cifar100(tmp_path):
+    """Miniature pickle CIFAR-100 tree under tmp_path (64 train / 32 test)."""
     import pickle
 
     base = tmp_path / "cifar-100-python"
@@ -45,6 +45,10 @@ def test_cli_end_to_end_on_synthetic_cifar(tmp_path, capsys):
         with open(base / split, "wb") as f:
             pickle.dump(data, f)
 
+
+def test_cli_end_to_end_on_synthetic_cifar(tmp_path, capsys):
+    """Full CLI run on a miniature CIFAR tree: 1 epoch, tiny batch."""
+    _make_synthetic_cifar100(tmp_path)
     cli.main([
         "vit_tiny_cifar100", "--epochs", "1", "--batch-size", "32",
         "--val-split", "0.25", "--data-root", str(tmp_path), "--lr", "1e-3",
@@ -70,19 +74,7 @@ def test_fit_checkpoints_when_configured(tmp_path):
 def test_cli_export_serving_artifact(tmp_path):
     """--export writes a loadable AOT artifact after training (and
     --export-int8 quantizes it)."""
-    import pickle
-
-    base = tmp_path / "cifar-100-python"
-    base.mkdir()
-    rng = np.random.RandomState(0)
-    for split, n in (("train", 64), ("test", 32)):
-        data = {
-            b"data": rng.randint(0, 255, (n, 3072), dtype=np.uint8),
-            b"fine_labels": rng.randint(0, 100, n).tolist(),
-        }
-        with open(base / split, "wb") as f:
-            pickle.dump(data, f)
-
+    _make_synthetic_cifar100(tmp_path)
     art = tmp_path / "artifact"
     cli.main([
         "vit_tiny_cifar100", "--epochs", "1", "--batch-size", "32",
