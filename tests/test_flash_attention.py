@@ -444,7 +444,82 @@ class TestWindowPack:
 
         assert window_pack_plan(32, 16, 2, 128, 1) is None   # dh too big
         assert window_pack_plan(33, 16, 2, 32, 1) is None    # g % p != 0
-        assert window_pack_plan(32, 16, 2, 32, 6) is None    # bias % p != 0
         assert window_pack_plan(32, 200, 2, 32, 1) is None   # n too big
         plan = window_pack_plan(32, 16, 2, 32, 8)
         assert plan is not None and plan[0] == 4
+
+    def test_plan_accepts_periodic_bias(self):
+        # n_win not divisible by p (SwinV2 @224 stage 1: n_win=49, p=4)
+        # rides a periodic bias tiling instead of falling back (r4).
+        from vision_transformers_tpu.ops.flash_attention import (
+            window_pack_plan,
+        )
+
+        plan = window_pack_plan(128 * 49, 64, 3, 32, 49)
+        assert plan is not None and plan[0] == 4
+        # g_blk must divide or be a multiple of the 49-pack bias period
+        period = 49  # lcm(49, 4) // 4
+        g_blk = plan[1]
+        assert period % g_blk == 0 or g_blk % period == 0
+
+    def test_matches_oracle_periodic_bias_tiled(self):
+        # nwp % p != 0, g_blk a multiple of the period (constant index map
+        # with a wrapped gather): nwp=6, p=4 -> period 3.
+        from vision_transformers_tpu.ops.flash_attention import (
+            _window_pack_ref, window_packed_attention, window_pack_plan,
+        )
+
+        g, n, heads, dh, n_win = 48, 16, 2, 32, 6
+        qkv = self._qkv(g, n, heads, dh, seed=5)
+        bias = jnp.asarray(
+            np.random.RandomState(6).randn(n_win, heads, n, n)
+            .astype(np.float32))
+        plan = window_pack_plan(g, n, heads, dh, n_win, qkv.dtype.itemsize)
+        assert plan is not None
+        ref = _window_pack_ref(qkv, bias, heads, 1 / dh ** 0.5)
+        got = window_packed_attention(qkv, bias, heads, plan=plan)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_matches_oracle_periodic_bias_modulo(self):
+        # g_blk strictly smaller than the period exercises the modulo
+        # index map (bias block revisited with wrap across programs).
+        from vision_transformers_tpu.ops.flash_attention import (
+            _window_pack_ref, window_packed_attention,
+        )
+
+        g, n, heads, dh, n_win = 24, 16, 2, 32, 3
+        qkv = self._qkv(g, n, heads, dh, seed=7)
+        bias = jnp.asarray(
+            np.random.RandomState(8).randn(n_win, heads, n, n)
+            .astype(np.float32))
+        ref = _window_pack_ref(qkv, bias, heads, 1 / dh ** 0.5)
+        got = window_packed_attention(qkv, bias, heads, plan=(4, 1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_reference_periodic_bias(self):
+        from vision_transformers_tpu.ops.flash_attention import (
+            _window_pack_ref, window_packed_attention,
+        )
+
+        g, n, heads, dh, n_win = 24, 16, 2, 32, 3
+        qkv = self._qkv(g, n, heads, dh, seed=9)
+        bias = jnp.asarray(
+            np.random.RandomState(10).randn(n_win, heads, n, n)
+            .astype(np.float32) * 0.1)
+
+        def loss_k(qkv, bias):
+            return jnp.sum(
+                window_packed_attention(qkv, bias, heads, plan=(4, 1)) ** 2)
+
+        def loss_r(qkv, bias):
+            return jnp.sum(_window_pack_ref(qkv, bias, heads,
+                                            1 / dh ** 0.5) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1))(qkv, bias)
+        gr = jax.grad(loss_r, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gr[1]),
+                                   rtol=1e-4, atol=1e-4)

@@ -32,10 +32,12 @@ Design notes (TPU-first; profiled on v5e — see git history):
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -935,16 +937,24 @@ def window_pack_plan(g: int, n: int, heads: int, dh: int,
                      bias_windows: int, itemsize: int = 2):
     """Return (p, g_blk) for the multi-window kernel, or None if the shape
     doesn't qualify. ``bias_windows``: leading dim of the combined bias
-    (1 = shared by all windows, n_win = per-window shift masks)."""
+    (1 = shared by all windows, n_win = per-window shift masks).
+
+    ``bias_windows`` need NOT divide into packs evenly: the per-pack bias
+    tile pattern is periodic in the pack index with period
+    lcm(bias_windows, p) / p (windows are fastest-varying in g, so window
+    indices cycle mod n_win across packs), and the kernel reads the bias
+    through a modulo index map. This is what keeps e.g. SwinV2 @224
+    stage 1 (56/8 = 7 windows per side -> n_win = 49, p = 4) on the pack
+    kernel for its SHIFTED blocks — the r3 plan rejected any
+    bias_windows % p != 0 and silently fell back to the ~2x slower
+    split-head path for half of every SwinV2 stage."""
     if dh > 64 or 128 % dh != 0 or n > 128:
         return None
     p = 128 // dh
     if p < 2 or g % p:
         return None
     g_packs = g // p
-    if bias_windows > 1 and bias_windows % p:
-        return None
-    groups = max(1, bias_windows // p)
+    period = 1 if bias_windows <= 1 else math.lcm(bias_windows, p) // p
 
     def fits(g_blk):
         blk = g_blk * p
@@ -957,12 +967,18 @@ def window_pack_plan(g: int, n: int, heads: int, dh: int,
         bias_b = g_blk * heads * (p * n) * max(n, 128) * itemsize
         return in_b + out_b + live + bias_b <= _WINDOW_PACK_VMEM_TARGET
 
-    best = None
-    cand = groups
+    # Candidates: divisors of the period (bias read through a modulo index
+    # map) and period·2^k multiples (bias tiled to the block, constant
+    # index). g_blk must also divide the pack count so the grid is exact.
+    cands = {d for d in range(1, period + 1) if period % d == 0}
+    cand = period
     while cand <= g_packs:
-        if g_packs % cand == 0 and fits(cand):
-            best = cand
+        cands.add(cand)
         cand *= 2
+    best = None
+    for c in sorted(cands):
+        if c <= g_packs and g_packs % c == 0 and fits(c):
+            best = c
     return (p, best) if best else None
 
 
@@ -1017,10 +1033,13 @@ def _window_pack_fwd_pallas(qkv, bias, heads, scale, p, g_blk):
     dh = hd // heads
     blk = g_blk * p
 
-    # pack the (nW'|1, H, N, N) bias into the per-program (g_blk, H, P·N, N)
-    # layout: window i of pack j carries bias row-block i; g_blk is a
-    # multiple of the bias group count, so every program sees the same tile.
+    # pack the (nW'|1, H, N, N) bias into per-pack (H, P·N, N) tiles:
+    # window i of pack j carries bias row-block (j·p + i) mod nW'. The tile
+    # pattern is periodic in j with period lcm(nW', p)/p; either the period
+    # tiles into g_blk (constant index map) or g_blk divides the period
+    # (modulo index map) — window_pack_plan only emits such g_blk.
     bias_dt = qkv.dtype  # VMEM-resident in the compute dtype (see target)
+    bias_index_map = lambda i: (0, 0, 0, 0)
     if bias is None:
         bias_pk = jnp.zeros((g_blk, heads, p * n, n), bias_dt)
     else:
@@ -1029,10 +1048,17 @@ def _window_pack_fwd_pallas(qkv, bias, heads, scale, p, g_blk):
             tile = jnp.tile(bias[0].astype(bias_dt), (1, p, 1))  # (H,PN,N)
             bias_pk = jnp.broadcast_to(tile[None], (g_blk, heads, p * n, n))
         else:
-            groups = nwp // p
-            bp = bias.astype(bias_dt).reshape(groups, p, heads, n, n)
-            bp = bp.transpose(0, 2, 1, 3, 4).reshape(groups, heads, p * n, n)
-            bias_pk = jnp.tile(bp, (g_blk // groups, 1, 1, 1))
+            period = math.lcm(nwp, p) // p
+            idx = np.arange(period * p).reshape(period, p) % nwp
+            bp = bias.astype(bias_dt)[idx]           # (period, p, H, N, N)
+            bp = bp.transpose(0, 2, 1, 3, 4).reshape(
+                period, heads, p * n, n)
+            if g_blk % period == 0:
+                bias_pk = jnp.tile(bp, (g_blk // period, 1, 1, 1))
+            else:  # g_blk | period (plan invariant)
+                bias_pk = bp
+                n_bias_blocks = period // g_blk
+                bias_index_map = lambda i: (i % n_bias_blocks, 0, 0, 0)
 
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
@@ -1043,7 +1069,7 @@ def _window_pack_fwd_pallas(qkv, bias, heads, scale, p, g_blk):
         in_specs=[
             pl.BlockSpec((blk, n, three_hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_blk, heads, p * n, n), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((g_blk, heads, p * n, n), bias_index_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((blk, n, hd), lambda i: (i, 0, 0),
