@@ -185,12 +185,15 @@ STEPS = [
      {}, pack_bias_done, None, None),
     ("serving", [PY, "benchmarks/serving_bench.py"], 1200,
      {}, serving_done, None, None),
+    # soak order: distill (short) -> zoo (7 never-measured families,
+    # VERDICT #6) -> detr last: it already has r2 evidence (mAP 0.239)
+    # and its chunked writer keeps partial progress if the round ends
     ("distill_soak", [PY, "benchmarks/distill_soak.py"], 7200,
      {}, distill_done, distill_stale, "distill_r04.json"),
-    ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
-     {}, detr_soak_done, None, "detr_convergence_r04.json"),
     ("zoo_soak", [PY, "benchmarks/convergence_zoo_r04.py"], 14400,
      {}, zoo_done, zoo_stale, "convergence_zoo_r04.json"),
+    ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
+     {}, detr_soak_done, None, "detr_convergence_r04.json"),
 ]
 
 
