@@ -209,7 +209,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "hier_bench_r04.json")
+                            os.environ.get("HIER_OUT", "hier_bench_r04.json"))
     rows = []
     for name in args.models.split(","):
         row = bench_model(name.strip(), args.batch, per_stage=args.stages,

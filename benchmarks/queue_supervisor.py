@@ -122,6 +122,18 @@ def serving_done():
             and len(d.get("buckets", {})) >= 4)
 
 
+def window_fused_done():
+    d = load_json("window_fused_r04.json")
+    return (isinstance(d, dict) and d.get("backend") == "tpu"
+            and len(d.get("models", {})) >= 3)
+
+
+def hier_rerun_done():
+    d = load_json("hier_bench_r04b.json")
+    return (isinstance(d, list) and len(d) >= 4
+            and all("stage_ms" in r for r in d))
+
+
 def pack_bias_done():
     d = load_json("pack_bias_dtype_r04.json")
     return isinstance(d, dict) and d.get("backend") == "tpu"
@@ -185,6 +197,13 @@ STEPS = [
      {}, pack_bias_done, None, None),
     ("serving", [PY, "benchmarks/serving_bench.py"], 1200,
      {}, serving_done, None, None),
+    ("window_fused", [PY, "benchmarks/window_fused_bench.py"], 1800,
+     {}, window_fused_done, None, None),
+    # re-measure hierarchical per-stage MFU on the post-fused-kernel code
+    # (hier_bench_r04.json predates both the periodic-bias pack fix and
+    # the fused window kernel)
+    ("hier_rerun", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
+     {"HIER_OUT": "hier_bench_r04b.json"}, hier_rerun_done, None, None),
     # soak order: distill (short) -> zoo (7 never-measured families,
     # VERDICT #6) -> detr last: it already has r2 evidence (mAP 0.239)
     # and its chunked writer keeps partial progress if the round ends

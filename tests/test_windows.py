@@ -177,3 +177,106 @@ class TestPackPathGlue:
             assert any("pack kernel" in str(r.message) for r in rec)
         finally:
             W.FORCE_PACK_PATH = old
+
+
+class TestFusedWindowKernel:
+    """The fused NHWC window kernel (roll+partition+attention+reverse+
+    unroll folded into one Pallas program, flash_attention.py
+    _window_fused_kernel) must match the partition-based fallback through
+    the FULL shifted_window_attention glue — including the lane-padded
+    q/k/v weight sections (c=8 heads·dh → sec=128) and the in-kernel
+    cyclic shift with its wraparound DMA."""
+
+    def _run(self, force_fused, shift, logit_scale=None, heads=2,
+             hw=(8, 8), mask_padding=False, dropout_rng=None):
+        import vision_transformers_tpu.ops.windows as W
+
+        # dh = 32 -> pack width p = 4; nw = w//4 windows per row, so
+        # bb=2 images/slab satisfies (bb*nw) % p == 0 at these sizes
+        b, (h, w), c = 4, hw, heads * 32
+        win, n = (4, 4), 16
+        ks = jax.random.split(jax.random.PRNGKey(11), 4)
+        x = jax.random.normal(ks[0], (b, h, w, c))
+        qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+        proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+        rel = jax.random.normal(ks[3], (heads, n, n)) * 0.05
+        old_f, old_p = W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH
+        W.FORCE_FUSED_WINDOW = force_fused
+        W.FORCE_PACK_PATH = not force_fused
+        try:
+            return shifted_window_attention(
+                x, qkv_k, None, proj_k, None, rel,
+                window_size=win, num_heads=heads, shift_size=shift,
+                logit_scale=logit_scale, mask_padding=mask_padding,
+            )
+        finally:
+            W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH = old_f, old_p
+
+    def _check(self, **kw):
+        a = self._run(True, **kw)
+        b = self._run(False, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fused_matches_fallback_no_shift(self):
+        self._check(shift=(0, 0))
+
+    def test_fused_matches_fallback_shifted(self):
+        self._check(shift=(2, 2))
+
+    def test_fused_matches_fallback_cosine_v2(self):
+        ls = jnp.full((2, 1, 1), jnp.log(10.0))
+        self._check(shift=(2, 2), logit_scale=ls)
+
+    def test_fused_matches_fallback_nonsquare(self):
+        self._check(shift=(2, 2), hw=(8, 16))
+
+    def test_fused_matches_fallback_padded_input(self):
+        # 7x7 input pads to 8x8; with mask_padding the per-window pad
+        # mask rides the packed bias (Twins LSA semantics)
+        self._check(shift=(2, 2), hw=(7, 7), mask_padding=True)
+
+    def test_fused_engages(self):
+        import vision_transformers_tpu.ops.windows as W
+
+        calls = []
+        orig = W.fused_window_attention
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        W.fused_window_attention = spy
+        try:
+            self._run(True, (2, 2))
+        finally:
+            W.fused_window_attention = orig
+        assert calls, "fused path did not engage under FORCE_FUSED_WINDOW"
+
+    def test_fused_gradients_match_fallback(self):
+        import vision_transformers_tpu.ops.windows as W
+
+        heads, c = 2, 64
+        n = 16
+        ks = jax.random.split(jax.random.PRNGKey(13), 4)
+        x = jax.random.normal(ks[0], (4, 8, 8, c))
+        qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+        proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+        rel = jax.random.normal(ks[3], (heads, n, n)) * 0.05
+
+        def loss(qk, pk, rb, fused):
+            old_f, old_p = W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH
+            W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH = fused, not fused
+            try:
+                out = shifted_window_attention(
+                    x, qk, None, pk, None, rb, window_size=(4, 4),
+                    num_heads=heads, shift_size=(2, 2))
+            finally:
+                W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH = old_f, old_p
+            return jnp.sum(jnp.sin(out))
+
+        gf = jax.grad(loss, (0, 1, 2))(qkv_k, proj_k, rel, True)
+        gr = jax.grad(loss, (0, 1, 2))(qkv_k, proj_k, rel, False)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=5e-5)

@@ -1155,6 +1155,388 @@ def window_packed_attention(qkv, bias, heads, scale=None, plan=None):
     return _window_pack(qkv, bias, heads, float(scale), p, g_blk)
 
 
+# ---------------------------------------------------------------------------
+# Fused NHWC windowed attention: cyclic shift + window partition + packed
+# attention + window reverse + un-shift in ONE kernel.
+#
+# Measured (benchmarks/swin_layout_ablation.py, v5e): Swin-T/224 spends
+# ~2.8 ms/fwd on the window partition/reverse relayouts and ~1.4 ms on the
+# jnp.roll pair — 12% of the 33 ms forward, pure HBM traffic the MXU never
+# sees. This kernel deletes both: the feature map stays in HBM in NHWC
+# (memory_space=ANY); each program manually DMAs one ROW-SLAB of windows
+# (bb images × wh rows × full width) into VMEM, with the cyclic row shift
+# folded into the DMA's row indexing (the last slab wraps: two copies) and
+# the column shift done as an in-VMEM slice-concat. Window extraction and
+# reversal become VMEM-local reshapes, and the attention core is the same
+# block-diagonal multi-window MXU packing as _window_pack_kernel, packing
+# across images in the slab so widths that don't divide the pack (SwinV2's
+# nw=7, p=4) still qualify.
+#
+# Numerics are EXACTLY the cyclic-shift scheme of the reference
+# (swin_transformer.py:74-118): roll(-s) -> partition -> softmax(qk+bias)v
+# -> reverse -> roll(+s); the 9-region shift mask rides in unchanged.
+_WINDOW_FUSED_VMEM_TARGET = 13 * 1024 * 1024
+
+
+def window_fused_plan(b: int, hp: int, wp: int, wh: int, ww: int,
+                      heads: int, dh: int, bias_windows: int,
+                      itemsize: int = 2):
+    """Return (p, bb) for the fused NHWC window kernel, or None.
+
+    ``bb``: images per program (the slab is (bb, wh, wp)). Packs of
+    p = 128//dh windows are formed over the slab's bb·nw windows, so the
+    only divisibility demand is (bb·nw) % p == 0 and bb | b — the bias
+    lane pattern depends only on the window's column index (window id
+    k·nw + ((j·p+i) mod nw)), identical for every image in the slab.
+
+    Mosaic's sliced-DMA legality (measured): the second-minor dim of a
+    4D HBM slice must be 8-aligned and the lane dim 128-aligned — so the
+    map width must satisfy wp % 8 == 0 and the q/k/v sections are padded
+    to sec = roundup(H·dh, 128) lanes (zero weight columns, so the dense
+    projection emits the padded layout at +sec/hd GEMM cost instead of an
+    HBM pad pass). Covers Swin @224 stage 1 (wp=56) and ALL SwinV2
+    stages (window-8 padding makes every map 8-aligned: 56/32/16/8)."""
+    n = wh * ww
+    if dh > 64 or 128 % dh != 0 or n > 128:
+        return None
+    if hp % wh or wp % ww or hp < wh or wp < ww:
+        return None
+    if wp % 8:
+        return None
+    p = 128 // dh
+    if p < 2:
+        return None
+    nw = wp // ww
+    hd = heads * dh
+    sec = -(-hd // 128) * 128
+
+    def fits(bb):
+        gb = bb * nw // p
+        slab_in = bb * wh * wp * 3 * sec * itemsize
+        slab_out = bb * wh * wp * sec * itemsize
+        # shifted + windowed VMEM copies of the slab, fp32 score temps
+        # (s, e, probs ~3x), packed q_bd/k_cat/v_cat, double-buffered bias
+        live = 2 * slab_in + slab_out
+        f32 = 3 * gb * (p * n) * max(n, 128) * 4
+        packed = gb * (p * n + 2 * n) * 128 * itemsize
+        bias_b = 2 * gb * heads * (p * n) * max(n, 128) * itemsize
+        return (slab_in + slab_out + live + f32 + packed + bias_b
+                <= _WINDOW_FUSED_VMEM_TARGET)
+
+    best = None
+    for bb in range(1, b + 1):
+        if b % bb or (bb * nw) % p:
+            continue
+        if fits(bb):
+            best = bb  # largest fitting divisor: amortizes the serial DMA
+    return (p, best) if best else None
+
+
+def _window_fused_kernel(bias_ref, qkv_hbm, o_hbm, in_sc, out_sc, sems, *,
+                         heads, dh, p, wh, ww, nw, nr, sh, sw, bb, sec,
+                         scale):
+    """Grid (B//bb, nr). bias_ref (1, Gb, H, P·N, N) VMEM; qkv_hbm
+    (B, Hp, Wp, 3·H·dh) and o_hbm (B, Hp, Wp, H·dh) stay in HBM (ANY)."""
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    n = wh * ww
+    hd = heads * dh
+    wp = nw * ww
+    hp = nr * wh
+    gb = bb * nw // p
+
+    # --- load the slab: rolled rows (k·wh+sh .. +wh-1) mod Hp -------------
+    if sh == 0:
+        cp = pltpu.make_async_copy(
+            qkv_hbm.at[pl.ds(i * bb, bb), pl.ds(k * wh, wh)],
+            in_sc, sems.at[0])
+        cp.start()
+        cp.wait()
+    else:
+        @pl.when(k < nr - 1)
+        def _straight():
+            cp = pltpu.make_async_copy(
+                qkv_hbm.at[pl.ds(i * bb, bb), pl.ds(k * wh + sh, wh)],
+                in_sc, sems.at[0])
+            cp.start()
+            cp.wait()
+
+        @pl.when(k == nr - 1)
+        def _wrap():
+            ca = pltpu.make_async_copy(
+                qkv_hbm.at[pl.ds(i * bb, bb), pl.ds(hp - wh + sh, wh - sh)],
+                in_sc.at[:, pl.ds(0, wh - sh)], sems.at[0])
+            cb = pltpu.make_async_copy(
+                qkv_hbm.at[pl.ds(i * bb, bb), pl.ds(0, sh)],
+                in_sc.at[:, pl.ds(wh - sh, sh)], sems.at[1])
+            ca.start()
+            cb.start()
+            ca.wait()
+            cb.wait()
+
+    x = in_sc[...]
+    if sw:
+        x = jnp.concatenate([x[:, :, sw:, :], x[:, :, :sw, :]], axis=2)
+    # window extraction: (bb, wh, Wp, 3hd) -> (bb·nw, N, 3hd). Mosaic can't
+    # shape-cast a merge of (wh, ww) when ww isn't sublane-aligned, but it
+    # CAN concatenate unaligned sizes along the sublane dim (the pack
+    # kernel's q_bd build relies on the same) — so each window is built as
+    # a concat of its wh row-strips.
+    wins = []
+    for c in range(nw):
+        strips = [x[:, r, c * ww:(c + 1) * ww, :] for r in range(wh)]
+        win = strips[0] if wh == 1 else jnp.concatenate(strips, axis=1)
+        wins.append(win[:, None])                        # (bb, 1, N, 3sec)
+    z = (wins[0] if nw == 1 else jnp.concatenate(wins, axis=1)).reshape(
+        bb * nw, n, 3 * sec)
+
+    # --- block-diagonal multi-window attention (see _window_pack_kernel) --
+    # q/k/v sections sit at ``sec`` strides (lane-padded when H·dh isn't
+    # 128-aligned); the per-head slices below never touch the pad lanes
+    outs = []
+    for h in range(heads):
+        q = z[:, :, h * dh:(h + 1) * dh]
+        kk = z[:, :, sec + h * dh:sec + (h + 1) * dh]
+        v = z[:, :, 2 * sec + h * dh:2 * sec + (h + 1) * dh]
+        q4 = q.reshape(gb, p, n, dh)
+        q_bd = jnp.concatenate([
+            jnp.pad(q4[:, j], ((0, 0), (0, 0), (j * dh, (p - 1 - j) * dh)))
+            for j in range(p)
+        ], axis=1)                                       # (Gb, P·N, P·dh)
+        k_cat = jnp.concatenate([
+            kk.reshape(gb, p, n, dh)[:, j] for j in range(p)
+        ], axis=2)                                       # (Gb, N, P·dh)
+        s = jax.lax.dot_general(
+            q_bd, k_cat,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + bias_ref[0, :, h].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        v_cat = jnp.concatenate([
+            v.reshape(gb, p, n, dh)[:, j] for j in range(p)
+        ], axis=2)
+        o_all = jax.lax.dot_general(
+            probs, v_cat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # (Gb, P·N, P·dh)
+        outs.append(jnp.concatenate([
+            o_all[:, j * n:(j + 1) * n, j * dh:(j + 1) * dh][:, None]
+            for j in range(p)
+        ], axis=1).reshape(bb * nw, n, dh))
+    if sec != hd:  # zero the pad lanes of the output map
+        outs.append(jnp.zeros((bb * nw, n, sec - hd), outs[0].dtype))
+    o = jnp.concatenate(outs, axis=-1)                   # (bb·nw, N, sec)
+
+    # --- window reverse + column un-shift, VMEM-local ---------------------
+    o = o.reshape(bb, nw, n, sec)
+    rows = []
+    for r in range(wh):
+        row = [o[:, c, r * ww:(r + 1) * ww, :] for c in range(nw)]
+        row = row[0] if nw == 1 else jnp.concatenate(row, axis=1)
+        rows.append(row[:, None])                        # (bb, 1, Wp, hd)
+    o = rows[0] if wh == 1 else jnp.concatenate(rows, axis=1)
+    if sw:
+        o = jnp.concatenate([o[:, :, wp - sw:, :], o[:, :, :wp - sw, :]],
+                            axis=2)
+    out_sc[...] = o.astype(out_sc.dtype)
+
+    # --- store with the same rolled-row mapping ---------------------------
+    if sh == 0:
+        cp = pltpu.make_async_copy(
+            out_sc, o_hbm.at[pl.ds(i * bb, bb), pl.ds(k * wh, wh)],
+            sems.at[2])
+        cp.start()
+        cp.wait()
+    else:
+        @pl.when(k < nr - 1)
+        def _straight_out():
+            cp = pltpu.make_async_copy(
+                out_sc, o_hbm.at[pl.ds(i * bb, bb), pl.ds(k * wh + sh, wh)],
+                sems.at[2])
+            cp.start()
+            cp.wait()
+
+        @pl.when(k == nr - 1)
+        def _wrap_out():
+            ca = pltpu.make_async_copy(
+                out_sc.at[:, pl.ds(0, wh - sh)],
+                o_hbm.at[pl.ds(i * bb, bb), pl.ds(hp - wh + sh, wh - sh)],
+                sems.at[2])
+            cb = pltpu.make_async_copy(
+                out_sc.at[:, pl.ds(wh - sh, sh)],
+                o_hbm.at[pl.ds(i * bb, bb), pl.ds(0, sh)], sems.at[0])
+            ca.start()
+            cb.start()
+            ca.wait()
+            cb.wait()
+
+
+def _window_fused_fwd_pallas(qkv_map, bias, heads, window, shift, scale,
+                             plan):
+    b, hp, wp, three_sec = qkv_map.shape
+    wh, ww = window
+    sh, sw = shift
+    p, bb = plan
+    dh = 128 // p
+    hd = heads * dh
+    sec = three_sec // 3          # lane-padded section stride (>= hd)
+    nr, nw = hp // wh, wp // ww
+    n = wh * ww
+    gb = bb * nw // p
+
+    # per-slab packed bias (nr|1, Gb, H, P·N, N): pack j lane i of slab k
+    # carries window id k·nw + ((j·p+i) mod nw) — column-periodic, so the
+    # pattern is identical for every image packed into the slab
+    bias_dt = qkv_map.dtype
+    if bias is None:
+        bias_pk = jnp.zeros((1, gb, heads, p * n, n), bias_dt)
+        bmap = lambda i, k: (0, 0, 0, 0, 0)
+    else:
+        nwp = bias.shape[0]
+        if nwp == 1:
+            tile = jnp.tile(bias[0].astype(bias_dt), (1, p, 1))  # (H,PN,N)
+            bias_pk = jnp.broadcast_to(
+                tile[None, None], (1, gb, heads, p * n, n))
+            bmap = lambda i, k: (0, 0, 0, 0, 0)
+        else:  # per-window (shift/pad masks): nwp == nr·nw
+            lane = np.arange(gb * p).reshape(gb, p) % nw
+            idx = np.arange(nr)[:, None, None] * nw + lane[None]
+            bp = bias.astype(bias_dt)[idx]        # (nr, Gb, P, H, N, N)
+            bias_pk = bp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                nr, gb, heads, p * n, n)
+            bmap = lambda i, k: (k, 0, 0, 0, 0)
+
+    interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(
+        _window_fused_kernel, heads=heads, dh=dh, p=p, wh=wh, ww=ww,
+        nw=nw, nr=nr, sh=sh, sw=sw, bb=bb, sec=sec, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, nr),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, gb, heads, p * n, n), bmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, sec), qkv_map.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bb, wh, wp, three_sec), qkv_map.dtype),
+            pltpu.VMEM((bb, wh, wp, sec), qkv_map.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nr * nw * heads * n * n * dh,
+            bytes_accessed=4 * b * hp * wp * hd * qkv_map.dtype.itemsize,
+            transcendentals=b * nr * nw * heads * n * n,
+        ),
+    )(bias_pk, qkv_map)
+
+
+def _window_fused_ref(qkv_map, bias, heads, window, shift, scale,
+                      hd=None):
+    """jnp twin (oracle + recompute backward): the explicit
+    roll->partition->attend->reverse->unroll chain. ``hd``: real H·dh when
+    the map's q/k/v sections are lane-padded to sec = map_C // 3."""
+    b, hp, wp, three_sec = qkv_map.shape
+    sec = three_sec // 3
+    if hd is None:
+        hd = sec
+    wh, ww = window
+    sh, sw = shift
+    x = qkv_map
+    if hd != sec:  # strip the pad lanes: sections at 0 / sec / 2·sec
+        x = jnp.concatenate(
+            [x[..., s * sec:s * sec + hd] for s in range(3)], axis=-1)
+    if sh or sw:
+        x = jnp.roll(x, shift=(-sh, -sw), axis=(1, 2))
+    x = x.reshape(b, hp // wh, wh, wp // ww, ww, 3 * hd)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b * (hp // wh) * (wp // ww), wh * ww, 3 * hd)
+    o = _window_pack_ref(x, bias, heads, scale)
+    o = o.reshape(b, hp // wh, wp // ww, wh, ww, hd)
+    o = o.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, hd)
+    if sh or sw:
+        o = jnp.roll(o, shift=(sh, sw), axis=(1, 2))
+    if hd != sec:
+        o = jnp.pad(o, ((0, 0), (0, 0), (0, 0), (0, sec - hd)))
+    return o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _window_fused(qkv_map, bias, heads, window, shift, scale, plan):
+    return _window_fused_fwd_pallas(
+        qkv_map, bias, heads, window, shift, scale, plan)
+
+
+def _window_fused_fwd_rule(qkv_map, bias, heads, window, shift, scale, plan):
+    out = _window_fused_fwd_pallas(
+        qkv_map, bias, heads, window, shift, scale, plan)
+    return out, (qkv_map, bias)
+
+
+def _window_fused_bwd_rule(heads, window, shift, scale, plan, res, do):
+    qkv_map, bias = res
+    hd = heads * (128 // plan[0])
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda a: _window_fused_ref(a, None, heads, window, shift,
+                                        scale, hd), qkv_map)
+        return vjp(do) + (None,)
+    # fwd holds the bias VMEM-resident in the compute dtype; recompute
+    # through the same rounding (see _window_pack_bwd_rule)
+    _, vjp = jax.vjp(
+        lambda a, c: _window_fused_ref(
+            a, c.astype(a.dtype), heads, window, shift, scale, hd),
+        qkv_map, bias)
+    return vjp(do)
+
+
+_window_fused.defvjp(_window_fused_fwd_rule, _window_fused_bwd_rule)
+
+
+def fused_window_attention(qkv_map, bias, heads, window, shift, dh=None,
+                           scale=None, plan=None):
+    """Shifted-window attention straight off the dense NHWC projection map.
+
+    qkv_map: (B, Hp, Wp, 3·sec) with sec = roundup(H·dh, 128) — q/k/v
+    sections lane-padded for sliced-DMA legality (the caller pads the
+    projection's weight columns so the GEMM emits this layout directly);
+    already padded to window multiples but NOT rolled — the cyclic shift
+    is folded into the kernel's DMA row indexing and an in-VMEM column
+    rotation. bias: (1 | nr·nw, H, N, N) combined rel-pos (+shift-mask)
+    bias or None. Returns (B, Hp, Wp, sec) in the original (un-rolled)
+    coordinates; the real output lives in lanes [:H·dh].
+
+    Equals roll(-shift) -> window_partition -> window_packed_attention ->
+    window_reverse -> roll(+shift) exactly (oracle: _window_fused_ref)."""
+    b, hp, wp, three_sec = qkv_map.shape
+    wh, ww = window
+    if dh is None:
+        dh = three_sec // (3 * heads)   # only valid for unpadded maps
+    if scale is None:
+        scale = 1.0 / dh ** 0.5
+    if plan is None:
+        plan = window_fused_plan(
+            b, hp, wp, wh, ww, heads, dh,
+            1 if bias is None else bias.shape[0], qkv_map.dtype.itemsize)
+    if plan is None:
+        raise ValueError("shape not supported; check window_fused_plan")
+    if three_sec != 3 * (-(-(heads * dh) // 128) * 128):
+        raise ValueError(
+            f"qkv_map lanes {three_sec} != 3*roundup({heads * dh},128); "
+            "pad the projection's q/k/v sections to 128-lane multiples")
+    return _window_fused(qkv_map, bias, heads, (wh, ww), tuple(shift),
+                         float(scale), plan)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_attention(q, k, v, bias, kv_mask, scale, kv_valid, block_q):
     out, _ = _flash_fwd(q, k, v, bias, kv_mask, scale, kv_valid, block_q)

@@ -26,6 +26,8 @@ import numpy as np
 from vision_transformers_tpu.core.initializers import trunc_normal_init, zeros_init
 from vision_transformers_tpu.ops.attention import dot_product_attention
 from vision_transformers_tpu.ops.flash_attention import (
+    fused_window_attention,
+    window_fused_plan,
     window_pack_plan,
     window_packed_attention,
 )
@@ -36,6 +38,11 @@ from vision_transformers_tpu.ops.flash_attention import (
 # ordering, cosine folding) through interpret mode — a regression there
 # would otherwise only surface in on-TPU benchmarks (ADVICE r2).
 FORCE_PACK_PATH: Optional[bool] = None
+
+# Same contract for the fused NHWC kernel (roll/partition/reverse folded
+# into the attention kernel's DMA indexing — flash_attention.py,
+# _window_fused_kernel). None = auto (TPU only).
+FORCE_FUSED_WINDOW: Optional[bool] = None
 
 _pack_dropout_warned = False
 
@@ -172,17 +179,50 @@ def shifted_window_attention(
     if ww >= pad_w:
         shift[1] = 0
 
-    if sum(shift) > 0:
-        x = jnp.roll(x, shift=(-shift[0], -shift[1]), axis=(1, 2))
-
     n_win = (pad_h // wh) * (pad_w // ww)
     n = wh * ww
     g = b * n_win
     dh = c // num_heads
 
-    # Dense qkv projection on the padded/rolled map (exact: pad rows are
-    # zero, so they project to the bias, same as projecting after the
-    # partition; roll is a permutation of positions).
+    # Decide the attention path BEFORE projecting: the fused NHWC kernel
+    # (flash_attention.py, _window_fused_kernel) folds roll + partition +
+    # attention + reverse + unroll into one pass — the layout ops cost
+    # Swin-T/224 ~4 ms/fwd of pure HBM traffic
+    # (benchmarks/swin_layout_ablation.py) — but wants the q/k/v weight
+    # columns padded to 128-lane sections so its sliced DMA is legal.
+    drop = 0.0 if deterministic else attention_dropout
+    has_mask = sum(shift) > 0 or (
+        mask_padding and (pad_h != h or pad_w != w))
+    nwp = n_win if has_mask else 1
+    use_fused = (
+        FORCE_FUSED_WINDOW if FORCE_FUSED_WINDOW is not None
+        else jax.default_backend() == "tpu"
+    )
+    fused_plan = None
+    if use_fused and drop == 0.0:
+        fused_plan = window_fused_plan(
+            b, pad_h, pad_w, wh, ww, num_heads, dh, nwp, x.dtype.itemsize)
+
+    sec = c if fused_plan is None else -(-c // 128) * 128
+    if sec != c:  # zero weight columns: the GEMM emits the padded layout
+        qkv_kernel = jnp.pad(
+            qkv_kernel.reshape(c, 3, c),
+            ((0, 0), (0, 0), (0, sec - c))).reshape(c, 3 * sec)
+        if qkv_bias is not None:
+            qkv_bias = jnp.pad(
+                qkv_bias.reshape(3, c), ((0, 0), (0, sec - c))).reshape(-1)
+
+    if fused_plan is None and sum(shift) > 0:
+        # fallback keeps the reference order: roll the (C-channel) map
+        # BEFORE the 3C projection — rolling qkv instead would triple the
+        # rolled bytes
+        x = jnp.roll(x, shift=(-shift[0], -shift[1]), axis=(1, 2))
+
+    # Dense qkv projection on the padded map (exact: pad rows are zero, so
+    # they project to the bias, same as projecting after the partition;
+    # the cyclic roll is a permutation of positions, so it commutes with
+    # the per-position projection — the fused kernel folds it into its
+    # DMA indexing).
     qkv = x @ qkv_kernel
     if qkv_bias is not None:
         qkv = qkv + qkv_bias
@@ -203,16 +243,24 @@ def shifted_window_attention(
             sumsq = jnp.sum(t32 * t32, axis=-1, keepdims=True)
             return (t32 * jax.lax.rsqrt(sumsq + 1e-12)).astype(t.dtype)
 
-        q5 = qkv.reshape(b, pad_h, pad_w, 3, num_heads, dh)
+        q6 = qkv.reshape(b, pad_h, pad_w, 3, sec)
         temp = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0)))
-        qn = _l2n(q5[..., 0, :, :]) * temp.reshape(num_heads, 1).astype(
-            qkv.dtype)
-        kn = _l2n(q5[..., 1, :, :])
-        qkv = jnp.stack([qn, kn, q5[..., 2, :, :]], axis=3).reshape(
-            b, pad_h, pad_w, 3 * c)
+
+        def _heads(t):  # real lanes of a section, per-head view
+            return t[..., :c].reshape(b, pad_h, pad_w, num_heads, dh)
+
+        def _flat(t):  # back to a (lane-padded) section
+            t = t.reshape(b, pad_h, pad_w, c)
+            if sec != c:
+                t = jnp.pad(t, ((0, 0),) * 3 + ((0, sec - c),))
+            return t
+
+        qn = _l2n(_heads(q6[..., 0, :])) * temp.reshape(
+            num_heads, 1).astype(qkv.dtype)
+        kn = _l2n(_heads(q6[..., 1, :]))
+        qkv = jnp.concatenate(
+            [_flat(qn), _flat(kn), q6[..., 2, :]], axis=-1)
         scale = 1.0
-    qkv_packed = window_partition(qkv, wh, ww)
-    # (B·nW, N, 3C), [q | k | v] lanes — kernel layout
 
     # Combined additive bias: relative-position bias (shared by all windows)
     # + per-window shift mask (shared by batch and heads). Shape (nW', nH,
@@ -236,7 +284,22 @@ def shifted_window_attention(
         # (leading, head) and cannot carry size-1 broadcast dims
         bias = jnp.broadcast_to(bias, (bias.shape[0], num_heads, n, n))
 
-    drop = 0.0 if deterministic else attention_dropout
+    if fused_plan is not None:
+        out = fused_window_attention(
+            qkv, bias, num_heads, (wh, ww), tuple(shift), dh=dh,
+            scale=scale, plan=fused_plan)
+        # (B, Hp, Wp, sec) in un-rolled coordinates; real lanes [:c]
+        out = out[:, :h, :w, :c]
+        out = out @ proj_kernel
+        if proj_bias is not None:
+            out = out + proj_bias
+        # (projection dropout applied by the caller module)
+        return out
+
+    qkv_packed = window_partition(qkv, wh, ww)
+    # (B·nW, N, 3C), [q | k | v] lanes — kernel layout (x was rolled
+    # before the projection on this path)
+
     pack_plan = None
     use_pack = (
         FORCE_PACK_PATH if FORCE_PACK_PATH is not None
@@ -244,9 +307,7 @@ def shifted_window_attention(
     )
     if use_pack:
         pack_plan = window_pack_plan(
-            g, n, num_heads, dh,
-            1 if bias is None else bias.shape[0],
-            qkv_packed.dtype.itemsize)
+            g, n, num_heads, dh, nwp, qkv_packed.dtype.itemsize)
     if pack_plan is not None and drop > 0.0:
         # the pack kernel has no in-kernel dropout; losing it changes the
         # perf class, so say so once instead of silently falling back
