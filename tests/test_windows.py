@@ -188,13 +188,14 @@ class TestFusedWindowKernel:
     cyclic shift with its wraparound DMA."""
 
     def _run(self, force_fused, shift, logit_scale=None, heads=2,
-             hw=(8, 8), mask_padding=False, dropout_rng=None):
+             hw=(8, 8), mask_padding=False, dropout_rng=None,
+             win=(4, 4)):
         import vision_transformers_tpu.ops.windows as W
 
         # dh = 32 -> pack width p = 4; nw = w//4 windows per row, so
         # bb=2 images/slab satisfies (bb*nw) % p == 0 at these sizes
         b, (h, w), c = 4, hw, heads * 32
-        win, n = (4, 4), 16
+        n = win[0] * win[1]
         ks = jax.random.split(jax.random.PRNGKey(11), 4)
         x = jax.random.normal(ks[0], (b, h, w, c))
         qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
@@ -277,6 +278,110 @@ class TestFusedWindowKernel:
 
         gf = jax.grad(loss, (0, 1, 2))(qkv_k, proj_k, rel, True)
         gr = jax.grad(loss, (0, 1, 2))(qkv_k, proj_k, rel, False)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=5e-5)
+
+
+class TestFlatFusedWindowKernel(TestFusedWindowKernel):
+    """The FLAT fused variant (whole images per program on the flat
+    (B·Hp·Wp, 3·sec) view, _window_fused_flat_kernel) serves the widths
+    the slab DMA can't slice — Swin-T stages 2-4 have Wp ∈ {28, 14, 7},
+    all % 8 != 0. Same module-level contract as the slab kernel.
+
+    Comparisons run under highest matmul precision: jax-0.9 CPU default
+    rounds fp32 matmul inputs to bf16, and the flat kernel's packed
+    block-diagonal contraction rounds differently from the fallback's
+    per-window einsum — both correct, but up to ~2e-3 apart at default
+    precision (receipts: benchmarks/logs/window_fused.log)."""
+
+    def _check(self, **kw):
+        from vision_transformers_tpu.ops.flash_attention import (
+            window_fused_flat_plan, window_fused_plan)
+
+        # geometry must actually route to the flat variant (plans see the
+        # window-padded dims)
+        heads = kw.get("heads", 2)
+        h, w = kw.get("hw", (28, 28))
+        win = kw.get("win", (4, 4))
+        ph = -(-h // win[0]) * win[0]
+        pw = -(-w // win[1]) * win[1]
+        assert window_fused_plan(4, ph, pw, win[0], win[1], heads, 32,
+                                 1, 4) is None, "slab plan unexpectedly fits"
+        assert window_fused_flat_plan(4, ph, pw, win[0], win[1], heads, 32,
+                                      1, 4) is not None, "no flat plan"
+        with jax.default_matmul_precision("highest"):
+            a = self._run(True, **kw)
+            b = self._run(False, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_fused_matches_fallback_no_shift(self):
+        self._check(shift=(0, 0), hw=(28, 28), win=(7, 7))
+
+    def test_fused_matches_fallback_shifted(self):
+        self._check(shift=(3, 3), hw=(28, 28), win=(7, 7))
+
+    def test_fused_matches_fallback_cosine_v2(self):
+        ls = jnp.full((2, 1, 1), jnp.log(10.0))
+        self._check(shift=(3, 3), hw=(28, 28), win=(7, 7), logit_scale=ls)
+
+    def test_fused_matches_fallback_nonsquare(self):
+        self._check(shift=(3, 3), hw=(28, 14), win=(7, 7))
+
+    def test_fused_matches_fallback_padded_input(self):
+        # 27x27 pads to 28x28; per-window pad mask rides the packed bias
+        self._check(shift=(3, 3), hw=(27, 27), win=(7, 7),
+                    mask_padding=True)
+
+    def test_fused_matches_fallback_window7(self):
+        # Swin's native 7x7 window at the stage-3 map size
+        self._check(shift=(3, 3), hw=(14, 14), win=(7, 7), heads=4)
+
+    def test_fused_engages(self):
+        import vision_transformers_tpu.ops.windows as W
+
+        calls = []
+        orig = W.window_fused_flat_plan
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            calls.append(out)
+            return out
+
+        W.window_fused_flat_plan = spy
+        try:
+            self._run(True, (3, 3), hw=(28, 28), win=(7, 7))
+        finally:
+            W.window_fused_flat_plan = orig
+        assert calls and calls[0] is not None, (
+            "flat fused path did not engage at Wp % 8 != 0")
+
+    def test_fused_gradients_match_fallback(self):
+        import vision_transformers_tpu.ops.windows as W
+
+        heads, c = 2, 64
+        n = 49
+        ks = jax.random.split(jax.random.PRNGKey(13), 4)
+        x = jax.random.normal(ks[0], (4, 14, 14, c))
+        qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+        proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+        rel = jax.random.normal(ks[3], (heads, n, n)) * 0.05
+
+        def loss(qk, pk, rb, fused):
+            old_f, old_p = W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH
+            W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH = fused, not fused
+            try:
+                out = shifted_window_attention(
+                    x, qk, None, pk, None, rb, window_size=(7, 7),
+                    num_heads=heads, shift_size=(3, 3))
+            finally:
+                W.FORCE_FUSED_WINDOW, W.FORCE_PACK_PATH = old_f, old_p
+            return jnp.sum(jnp.sin(out))
+
+        with jax.default_matmul_precision("highest"):
+            gf = jax.grad(loss, (0, 1, 2))(qkv_k, proj_k, rel, True)
+            gr = jax.grad(loss, (0, 1, 2))(qkv_k, proj_k, rel, False)
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-5, atol=5e-5)

@@ -1232,6 +1232,160 @@ def window_fused_plan(b: int, hp: int, wp: int, wh: int, ww: int,
     return (p, best) if best else None
 
 
+def _pack_attn_math(z, bias_ref, heads, dh, p, n, sec, scale):
+    """Block-diagonal multi-window attention on a packed window batch
+    (see _window_pack_kernel for the MXU-packing derivation).
+
+    z: (G, N, 3·sec) value with q/k/v sections at ``sec`` lane strides
+    (lane-padded when H·dh isn't 128-aligned; the per-head slices never
+    touch the pad lanes); bias_ref: VMEM ref whose [0, :, h] is the fp32
+    (Gb, P·N, N) bias tile for head h. Returns (G, N, sec)."""
+    g = z.shape[0]
+    gb = g // p
+    hd = heads * dh
+    outs = []
+    for h in range(heads):
+        q = z[:, :, h * dh:(h + 1) * dh]
+        kk = z[:, :, sec + h * dh:sec + (h + 1) * dh]
+        v = z[:, :, 2 * sec + h * dh:2 * sec + (h + 1) * dh]
+        q4 = q.reshape(gb, p, n, dh)
+        q_bd = jnp.concatenate([
+            jnp.pad(q4[:, j], ((0, 0), (0, 0), (j * dh, (p - 1 - j) * dh)))
+            for j in range(p)
+        ], axis=1)                                       # (Gb, P·N, P·dh)
+        k_cat = jnp.concatenate([
+            kk.reshape(gb, p, n, dh)[:, j] for j in range(p)
+        ], axis=2)                                       # (Gb, N, P·dh)
+        s = jax.lax.dot_general(
+            q_bd, k_cat,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + bias_ref[0, :, h].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        v_cat = jnp.concatenate([
+            v.reshape(gb, p, n, dh)[:, j] for j in range(p)
+        ], axis=2)
+        o_all = jax.lax.dot_general(
+            probs, v_cat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # (Gb, P·N, P·dh)
+        outs.append(jnp.concatenate([
+            o_all[:, j * n:(j + 1) * n, j * dh:(j + 1) * dh][:, None]
+            for j in range(p)
+        ], axis=1).reshape(g, n, dh))
+    if sec != hd:  # zero the pad lanes of the output map
+        outs.append(jnp.zeros((g, n, sec - hd), outs[0].dtype))
+    return jnp.concatenate(outs, axis=-1)                # (G, N, sec)
+
+
+def window_fused_flat_plan(b: int, hp: int, wp: int, wh: int, ww: int,
+                           heads: int, dh: int, bias_windows: int,
+                           itemsize: int = 2):
+    """Plan for the FLAT fused window kernel: whole images per program on
+    the (B·Hp·Wp, 3·sec) row-major view, or None.
+
+    The slab kernel's DMA needs wp % 8 == 0 (Mosaic sublane tiling); maps
+    like 28/14/7 fail it. Flattening (Hp, Wp) makes the image a contiguous
+    row-range whose slice is legal whenever (bb·Hp·Wp) % 8 == 0 — and with
+    whole images resident, BOTH cyclic shifts and the window partition
+    reduce to static row arithmetic on the flat scratch (window row-strips
+    are contiguous runs of flat rows; the wrapped strips split in two).
+    Returns (p, bb, 'flat')."""
+    n = wh * ww
+    if dh > 64 or 128 % dh != 0 or n > 128:
+        return None
+    if hp % wh or wp % ww or hp < wh or wp < ww:
+        return None
+    p = 128 // dh
+    if p < 2:
+        return None
+    nw_img = (hp // wh) * (wp // ww)
+    hw = hp * wp
+    sec = -(-(heads * dh) // 128) * 128
+
+    def fits(bb):
+        gb = bb * nw_img // p
+        flat_in = bb * hw * 3 * sec * itemsize
+        flat_out = bb * hw * sec * itemsize
+        live = 2 * flat_in + flat_out
+        f32 = 3 * gb * (p * n) * max(n, 128) * 4
+        packed = gb * (p * n + 2 * n) * 128 * itemsize
+        bias_b = 2 * gb * heads * (p * n) * max(n, 128) * itemsize
+        return (flat_in + flat_out + live + f32 + packed + bias_b
+                <= _WINDOW_FUSED_VMEM_TARGET)
+
+    best = None
+    for bb in range(1, b + 1):
+        if b % bb or (bb * nw_img) % p or (bb * hw) % 8:
+            continue
+        if fits(bb):
+            best = bb
+    return (p, best, "flat") if best else None
+
+
+def _window_fused_flat_kernel(bias_ref, qkv_hbm, o_hbm, in_sc, out_sc,
+                              sems, *, heads, dh, p, wh, ww, hp, wp, sh,
+                              sw, bb, sec, scale):
+    """Grid (B//bb,). qkv_hbm (B·Hp·Wp, 3·sec) and o_hbm (B·Hp·Wp, sec)
+    flat row-major in HBM; whole images are DMA'd per program and the
+    shifted window partition/reverse are static flat-row slices."""
+    i = pl.program_id(0)
+    hw = hp * wp
+    n = wh * ww
+    nr, nw = hp // wh, wp // ww
+
+    cp = pltpu.make_async_copy(
+        qkv_hbm.at[pl.ds(i * (bb * hw), bb * hw)], in_sc, sems.at[0])
+    cp.start()
+    cp.wait()
+    x = in_sc[...]
+
+    # strip table: window (b_l, R, c) row r reads ROLLED img row R·wh+r =
+    # original row (R·wh+r+sh) mod Hp, cols (c·ww+sw .. +ww) mod Wp —
+    # contiguous flat rows, split in two when the column range wraps
+    def table(b_l, R, c):
+        pieces = []
+        for r in range(wh):
+            gr = (R * wh + r + sh) % hp
+            base = b_l * hw + gr * wp
+            c0 = c * ww + sw
+            if c0 + ww <= wp:
+                pieces.append((base + c0, ww))
+            else:
+                pieces.append((base + c0, wp - c0))
+                pieces.append((base, ww - (wp - c0)))
+        return pieces
+    wins = []
+    order = [(b_l, R, c) for b_l in range(bb)
+             for R in range(nr) for c in range(nw)]
+    for (b_l, R, c) in order:
+        pieces = [x[a:a + ln] for a, ln in table(b_l, R, c)]
+        win = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            pieces, axis=0)
+        wins.append(win[None])                           # (1, N, 3sec)
+    z = (wins[0] if len(wins) == 1
+         else jnp.concatenate(wins, axis=0))             # (bb·nW, N, 3sec)
+
+    o = _pack_attn_math(z, bias_ref, heads, dh, p, n, sec, scale)
+    o = o.astype(out_sc.dtype)
+
+    for idx, (b_l, R, c) in enumerate(order):
+        w_o = o[idx]                                     # (N, sec)
+        row = 0
+        for a, ln in table(b_l, R, c):
+            out_sc[a:a + ln, :] = w_o[row:row + ln, :]
+            row += ln
+
+    cp = pltpu.make_async_copy(
+        out_sc, o_hbm.at[pl.ds(i * (bb * hw), bb * hw)], sems.at[1])
+    cp.start()
+    cp.wait()
+
+
 def _window_fused_kernel(bias_ref, qkv_hbm, o_hbm, in_sc, out_sc, sems, *,
                          heads, dh, p, wh, ww, nw, nr, sh, sw, bb, sec,
                          scale):
@@ -1290,46 +1444,7 @@ def _window_fused_kernel(bias_ref, qkv_hbm, o_hbm, in_sc, out_sc, sems, *,
     z = (wins[0] if nw == 1 else jnp.concatenate(wins, axis=1)).reshape(
         bb * nw, n, 3 * sec)
 
-    # --- block-diagonal multi-window attention (see _window_pack_kernel) --
-    # q/k/v sections sit at ``sec`` strides (lane-padded when H·dh isn't
-    # 128-aligned); the per-head slices below never touch the pad lanes
-    outs = []
-    for h in range(heads):
-        q = z[:, :, h * dh:(h + 1) * dh]
-        kk = z[:, :, sec + h * dh:sec + (h + 1) * dh]
-        v = z[:, :, 2 * sec + h * dh:2 * sec + (h + 1) * dh]
-        q4 = q.reshape(gb, p, n, dh)
-        q_bd = jnp.concatenate([
-            jnp.pad(q4[:, j], ((0, 0), (0, 0), (j * dh, (p - 1 - j) * dh)))
-            for j in range(p)
-        ], axis=1)                                       # (Gb, P·N, P·dh)
-        k_cat = jnp.concatenate([
-            kk.reshape(gb, p, n, dh)[:, j] for j in range(p)
-        ], axis=2)                                       # (Gb, N, P·dh)
-        s = jax.lax.dot_general(
-            q_bd, k_cat,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = s + bias_ref[0, :, h].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-        v_cat = jnp.concatenate([
-            v.reshape(gb, p, n, dh)[:, j] for j in range(p)
-        ], axis=2)
-        o_all = jax.lax.dot_general(
-            probs, v_cat,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                # (Gb, P·N, P·dh)
-        outs.append(jnp.concatenate([
-            o_all[:, j * n:(j + 1) * n, j * dh:(j + 1) * dh][:, None]
-            for j in range(p)
-        ], axis=1).reshape(bb * nw, n, dh))
-    if sec != hd:  # zero the pad lanes of the output map
-        outs.append(jnp.zeros((bb * nw, n, sec - hd), outs[0].dtype))
-    o = jnp.concatenate(outs, axis=-1)                   # (bb·nw, N, sec)
+    o = _pack_attn_math(z, bias_ref, heads, dh, p, n, sec, scale)
 
     # --- window reverse + column un-shift, VMEM-local ---------------------
     o = o.reshape(bb, nw, n, sec)
@@ -1380,37 +1495,80 @@ def _window_fused_fwd_pallas(qkv_map, bias, heads, window, shift, scale,
     b, hp, wp, three_sec = qkv_map.shape
     wh, ww = window
     sh, sw = shift
-    p, bb = plan
+    flat = len(plan) == 3
+    p, bb = plan[0], plan[1]
     dh = 128 // p
     hd = heads * dh
     sec = three_sec // 3          # lane-padded section stride (>= hd)
     nr, nw = hp // wh, wp // ww
     n = wh * ww
-    gb = bb * nw // p
+    # slab mode packs the nw windows of one row-slab; flat mode packs all
+    # nr·nw windows of whole images, so its bias pattern collapses to a
+    # single program-invariant tile (nr_eff = 1)
+    nw_eff = nr * nw if flat else nw
+    nr_eff = 1 if flat else nr
+    gb = bb * nw_eff // p
 
-    # per-slab packed bias (nr|1, Gb, H, P·N, N): pack j lane i of slab k
-    # carries window id k·nw + ((j·p+i) mod nw) — column-periodic, so the
-    # pattern is identical for every image packed into the slab
+    # packed bias (nr_eff|1, Gb, H, P·N, N): pack j lane i of slab k
+    # carries window id k·nw_eff + ((j·p+i) mod nw_eff) — column-periodic,
+    # so the pattern is identical for every image packed into the slab
     bias_dt = qkv_map.dtype
     if bias is None:
         bias_pk = jnp.zeros((1, gb, heads, p * n, n), bias_dt)
-        bmap = lambda i, k: (0, 0, 0, 0, 0)
+        shared = True
     else:
         nwp = bias.shape[0]
         if nwp == 1:
             tile = jnp.tile(bias[0].astype(bias_dt), (1, p, 1))  # (H,PN,N)
             bias_pk = jnp.broadcast_to(
                 tile[None, None], (1, gb, heads, p * n, n))
-            bmap = lambda i, k: (0, 0, 0, 0, 0)
+            shared = True
         else:  # per-window (shift/pad masks): nwp == nr·nw
-            lane = np.arange(gb * p).reshape(gb, p) % nw
-            idx = np.arange(nr)[:, None, None] * nw + lane[None]
-            bp = bias.astype(bias_dt)[idx]        # (nr, Gb, P, H, N, N)
+            lane = np.arange(gb * p).reshape(gb, p) % nw_eff
+            idx = np.arange(nr_eff)[:, None, None] * nw_eff + lane[None]
+            bp = bias.astype(bias_dt)[idx]    # (nr_eff, Gb, P, H, N, N)
             bias_pk = bp.transpose(0, 1, 3, 2, 4, 5).reshape(
-                nr, gb, heads, p * n, n)
-            bmap = lambda i, k: (k, 0, 0, 0, 0)
+                nr_eff, gb, heads, p * n, n)
+            shared = nr_eff == 1
 
     interpret = jax.default_backend() != "tpu"
+    bias_spec = pl.BlockSpec((1, gb, heads, p * n, n),
+                             memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=4 * b * nr * nw * heads * n * n * dh,
+        bytes_accessed=4 * b * hp * wp * hd * qkv_map.dtype.itemsize,
+        transcendentals=b * nr * nw * heads * n * n,
+    )
+    if flat:
+        bmap = lambda i: (0, 0, 0, 0, 0)
+        bias_spec = pl.BlockSpec((1, gb, heads, p * n, n), bmap,
+                                 memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _window_fused_flat_kernel, heads=heads, dh=dh, p=p, wh=wh,
+            ww=ww, hp=hp, wp=wp, sh=sh, sw=sw, bb=bb, sec=sec, scale=scale)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // bb,),
+            interpret=interpret,
+            in_specs=[bias_spec, pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            out_shape=jax.ShapeDtypeStruct((b * hp * wp, sec),
+                                           qkv_map.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bb * hp * wp, three_sec), qkv_map.dtype),
+                pltpu.VMEM((bb * hp * wp, sec), qkv_map.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=cost,
+        )(bias_pk, qkv_map.reshape(b * hp * wp, three_sec))
+        return out.reshape(b, hp, wp, sec)
+
+    bmap = ((lambda i, k: (0, 0, 0, 0, 0)) if shared
+            else (lambda i, k: (k, 0, 0, 0, 0)))
+    bias_spec = pl.BlockSpec((1, gb, heads, p * n, n), bmap,
+                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _window_fused_kernel, heads=heads, dh=dh, p=p, wh=wh, ww=ww,
         nw=nw, nr=nr, sh=sh, sw=sw, bb=bb, sec=sec, scale=scale)
@@ -1419,8 +1577,7 @@ def _window_fused_fwd_pallas(qkv_map, bias, heads, window, shift, scale,
         grid=(b // bb, nr),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((1, gb, heads, p * n, n), bmap,
-                         memory_space=pltpu.VMEM),
+            bias_spec,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -1432,11 +1589,7 @@ def _window_fused_fwd_pallas(qkv_map, bias, heads, window, shift, scale,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * nr * nw * heads * n * n * dh,
-            bytes_accessed=4 * b * hp * wp * hd * qkv_map.dtype.itemsize,
-            transcendentals=b * nr * nw * heads * n * n,
-        ),
+        cost_estimate=cost,
     )(bias_pk, qkv_map)
 
 

@@ -27,6 +27,7 @@ from vision_transformers_tpu.core.initializers import trunc_normal_init, zeros_i
 from vision_transformers_tpu.ops.attention import dot_product_attention
 from vision_transformers_tpu.ops.flash_attention import (
     fused_window_attention,
+    window_fused_flat_plan,
     window_fused_plan,
     window_pack_plan,
     window_packed_attention,
@@ -202,6 +203,12 @@ def shifted_window_attention(
     if use_fused and drop == 0.0:
         fused_plan = window_fused_plan(
             b, pad_h, pad_w, wh, ww, num_heads, dh, nwp, x.dtype.itemsize)
+        if fused_plan is None:
+            # widths the slab DMA can't slice (wp % 8 != 0: Swin-T stages
+            # 2-4) ride the flat whole-image variant instead
+            fused_plan = window_fused_flat_plan(
+                b, pad_h, pad_w, wh, ww, num_heads, dh, nwp,
+                x.dtype.itemsize)
 
     sec = c if fused_plan is None else -(-c // 128) * 128
     if sec != c:  # zero weight columns: the GEMM emits the padded layout
