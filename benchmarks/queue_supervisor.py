@@ -160,6 +160,24 @@ def detr_soak_done():
             and (d.get("stopped") == "plateau" or d.get("epochs", 0) >= 500))
 
 
+def hier_flat_done():
+    d = load_json("hier_bench_r04c.json")
+    return (isinstance(d, list) and len(d) >= 4
+            and all("stage_ms" in r for r in d))
+
+
+def window_fused_flat_done():
+    d = load_json("window_fused_flat_r04.json")
+    return (isinstance(d, dict) and d.get("backend") == "tpu"
+            and len(d.get("models", {})) >= 3)
+
+
+def distill_noise_done():
+    d = load_json("distill_noise_r04.json")
+    return (isinstance(d, dict) and "distillation_delta" in d
+            and d.get("backend") == "tpu")
+
+
 def zoo_done():
     d = load_json("convergence_zoo_r04.json")
     return (isinstance(d, dict)
@@ -213,6 +231,17 @@ STEPS = [
      {}, zoo_done, zoo_stale, "convergence_zoo_r04.json"),
     ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
      {}, detr_soak_done, None, "detr_convergence_r04.json"),
+    # post-flat-kernel remeasure (hier_bench_r04b/window_fused_r04 predate
+    # the flat fused variant that covers Swin-T stages 2-4)
+    ("hier_flat", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
+     {"HIER_OUT": "hier_bench_r04c.json"}, hier_flat_done, None, None),
+    ("window_fused_flat", [PY, "benchmarks/window_fused_bench.py"], 1800,
+     {"FUSED_OUT": "window_fused_flat_r04.json"},
+     window_fused_flat_done, None, None),
+    # label-noise distillation regime: the first soak's task saturated the
+    # control (distill_r04.json deltas ~0); this one shows the actual win
+    ("distill_noise", [PY, "benchmarks/distill_noise_soak.py"], 7200,
+     {}, distill_noise_done, None, "distill_noise_r04.json"),
 ]
 
 
