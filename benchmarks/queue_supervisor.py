@@ -172,6 +172,12 @@ def window_fused_flat_done():
             and len(d.get("models", {})) >= 3)
 
 
+def detr_residue_done():
+    d = load_json("detr_residue_r04.json")
+    return (isinstance(d, dict) and d.get("backend") == "tpu"
+            and "matcher_ms" in d)
+
+
 def distill_noise_done():
     d = load_json("distill_noise_r04.json")
     return (isinstance(d, dict) and "distillation_delta" in d
@@ -242,6 +248,10 @@ STEPS = [
     # control (distill_r04.json deltas ~0); this one shows the actual win
     ("distill_noise", [PY, "benchmarks/distill_noise_soak.py"], 7200,
      {}, distill_noise_done, None, "distill_noise_r04.json"),
+    # scan-based DETR phase split (detr_phase's standalone numbers summed
+    # to 2.6x the whole forward — measurement, not device time)
+    ("detr_residue", [PY, "benchmarks/detr_residue.py"], 2400,
+     {}, detr_residue_done, None, None),
 ]
 
 
