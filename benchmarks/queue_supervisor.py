@@ -235,23 +235,24 @@ STEPS = [
      {}, distill_done, distill_stale, "distill_r04.json"),
     ("zoo_soak", [PY, "benchmarks/convergence_zoo_r04.py"], 14400,
      {}, zoo_done, zoo_stale, "convergence_zoo_r04.json"),
-    ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
-     {}, detr_soak_done, None, "detr_convergence_r04.json"),
     # post-flat-kernel remeasure (hier_bench_r04b/window_fused_r04 predate
-    # the flat fused variant that covers Swin-T stages 2-4)
+    # the flat fused variant that covers Swin-T stages 2-4) — short steps
+    # run before the multi-hour soaks so a tunnel wedge costs the least
     ("hier_flat", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
      {"HIER_OUT": "hier_bench_r04c.json"}, hier_flat_done, None, None),
     ("window_fused_flat", [PY, "benchmarks/window_fused_bench.py"], 1800,
      {"FUSED_OUT": "window_fused_flat_r04.json"},
      window_fused_flat_done, None, None),
-    # label-noise distillation regime: the first soak's task saturated the
-    # control (distill_r04.json deltas ~0); this one shows the actual win
-    ("distill_noise", [PY, "benchmarks/distill_noise_soak.py"], 7200,
-     {}, distill_noise_done, None, "distill_noise_r04.json"),
     # scan-based DETR phase split (detr_phase's standalone numbers summed
     # to 2.6x the whole forward — measurement, not device time)
     ("detr_residue", [PY, "benchmarks/detr_residue.py"], 2400,
      {}, detr_residue_done, None, None),
+    # label-noise distillation regime: the first soak's task saturated the
+    # control (distill_r04.json deltas ~0); this one shows the actual win
+    ("distill_noise", [PY, "benchmarks/distill_noise_soak.py"], 7200,
+     {}, distill_noise_done, None, "distill_noise_r04.json"),
+    ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
+     {}, detr_soak_done, None, "detr_convergence_r04.json"),
 ]
 
 
