@@ -178,6 +178,12 @@ def detr_residue_done():
             and "matcher_ms" in d)
 
 
+def swinv2_ablation_done():
+    d = load_json("swinv2_fused_ablation_r04.json")
+    return (isinstance(d, dict)
+            and all("swinv2t_224" in d.get(k, {}) for k in ("fused", "pack")))
+
+
 def distill_noise_done():
     d = load_json("distill_noise_r04.json")
     return (isinstance(d, dict) and "distillation_delta" in d
@@ -243,6 +249,11 @@ STEPS = [
     ("window_fused_flat", [PY, "benchmarks/window_fused_bench.py"], 1800,
      {"FUSED_OUT": "window_fused_flat_r04.json"},
      window_fused_flat_done, None, None),
+    # SwinV2-T regressed 48.5->66.5 ms when the fused kernel landed
+    # (stages 2-3 doubled); per-stage fused-vs-pack receipts decide the
+    # routing fix in ops/windows.py
+    ("swinv2_ablation", [PY, "benchmarks/swinv2_fused_ablation.py"], 1800,
+     {}, swinv2_ablation_done, None, None),
     # scan-based DETR phase split (detr_phase's standalone numbers summed
     # to 2.6x the whole forward — measurement, not device time)
     ("detr_residue", [PY, "benchmarks/detr_residue.py"], 2400,
