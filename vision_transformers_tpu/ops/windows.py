@@ -195,9 +195,18 @@ def shifted_window_attention(
     has_mask = sum(shift) > 0 or (
         mask_padding and (pad_h != h or pad_w != w))
     nwp = n_win if has_mask else 1
+    # Routing receipts (chip, r4): the fused kernel wins for dot-product
+    # window attention — Swin-T 1.42x, Twins 1.33x at the op level
+    # (benchmarks/window_fused_flat_r04.json) and Swin-T 32.9->29.6 ms
+    # full-model (hier_bench_r04 vs r04b) — but LOSES for the cosine
+    # (SwinV2) path: 0.649x at the op level and every SwinV2-T stage
+    # slower full-model (48.5->66.5 ms, stages 2-3 doubled). The cosine
+    # path must materialize l2-normalized q/k on the dense map before the
+    # kernel, so the fused kernel's one-pass advantage (projection output
+    # read in place) is already spent; route cosine to the pack path.
     use_fused = (
         FORCE_FUSED_WINDOW if FORCE_FUSED_WINDOW is not None
-        else jax.default_backend() == "tpu"
+        else jax.default_backend() == "tpu" and logit_scale is None
     )
     fused_plan = None
     if use_fused and drop == 0.0:
