@@ -172,6 +172,12 @@ def window_fused_flat_done():
             and len(d.get("models", {})) >= 3)
 
 
+def hier_routed_done():
+    d = load_json("hier_bench_r04d.json")
+    return (isinstance(d, list) and len(d) >= 4
+            and all("stage_ms" in r for r in d))
+
+
 def detr_residue_done():
     d = load_json("detr_residue_r04.json")
     return (isinstance(d, dict) and d.get("backend") == "tpu"
@@ -254,6 +260,11 @@ STEPS = [
     # routing fix in ops/windows.py
     ("swinv2_ablation", [PY, "benchmarks/swinv2_fused_ablation.py"], 1800,
      {}, swinv2_ablation_done, None, None),
+    # post-routing-fix remeasure: SwinV2 cosine now defaults to the pack
+    # path (ops/windows.py routing receipts) — hier_bench_r04d should show
+    # SwinV2-T back to ~48 ms while Swin-T keeps its fused-kernel 30 ms
+    ("hier_routed", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
+     {"HIER_OUT": "hier_bench_r04d.json"}, hier_routed_done, None, None),
     # scan-based DETR phase split (detr_phase's standalone numbers summed
     # to 2.6x the whole forward — measurement, not device time)
     ("detr_residue", [PY, "benchmarks/detr_residue.py"], 2400,
