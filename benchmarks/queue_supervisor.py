@@ -178,6 +178,12 @@ def hier_routed_done():
             and all("stage_ms" in r for r in d))
 
 
+def swinv2_restore_done():
+    d = load_json("hier_swinv2_r04e.json")
+    return (isinstance(d, list) and len(d) >= 1
+            and all("stage_ms" in r for r in d))
+
+
 def detr_residue_done():
     d = load_json("detr_residue_r04.json")
     return (isinstance(d, dict) and d.get("backend") == "tpu"
@@ -265,6 +271,13 @@ STEPS = [
     # SwinV2-T back to ~48 ms while Swin-T keeps its fused-kernel 30 ms
     ("hier_routed", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
      {"HIER_OUT": "hier_bench_r04d.json"}, hier_routed_done, None, None),
+    # the pack-path cosine relayout regression (stages 2-3, ablation
+    # 48.5 -> 53.3 ms) was restored to the 6-D stack form in
+    # ops/windows.py; targeted SwinV2-only remeasure
+    ("swinv2_restore",
+     [PY, "benchmarks/hier_bench.py", "--stages",
+      "--models", "swinv2t_224"], 900,
+     {"HIER_OUT": "hier_swinv2_r04e.json"}, swinv2_restore_done, None, None),
     # scan-based DETR phase split (detr_phase's standalone numbers summed
     # to 2.6x the whole forward — measurement, not device time)
     ("detr_residue", [PY, "benchmarks/detr_residue.py"], 2400,

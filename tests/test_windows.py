@@ -385,3 +385,59 @@ class TestFlatFusedWindowKernel(TestFusedWindowKernel):
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-5, atol=5e-5)
+
+
+class TestCosineRouting:
+    """SwinV2 cosine attention defaults to the pack path: chip receipts
+    (benchmarks/window_fused_flat_r04.json fused=0.649x; hier_bench_r04
+    vs r04c: 48.5 -> 66.5 ms full-model) — guard the routing decision."""
+
+    def _run(self, logit_scale):
+        heads, c = 2, 64
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        x = jax.random.normal(ks[0], (2, 14, 14, c))
+        qkv_k = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+        proj_k = jax.random.normal(ks[2], (c, c)) * 0.1
+        return shifted_window_attention(
+            x, qkv_k, None, proj_k, None, None, window_size=(7, 7),
+            num_heads=heads, shift_size=(0, 0), logit_scale=logit_scale)
+
+    def test_cosine_routes_to_pack_on_tpu_default(self):
+        import vision_transformers_tpu.ops.windows as W
+
+        class FusedTaken(Exception):
+            pass
+
+        def spy(*a, **k):  # the kernel can't lower on CPU; just signal
+            raise FusedTaken
+
+        class FakeJax:  # fake the backend ONLY inside windows.py — the
+            def __getattr__(self, k):  # kernels' interpret-mode check
+                return getattr(jax, k)  # must keep seeing the real CPU
+
+            @staticmethod
+            def default_backend():
+                return "tpu"
+
+        orig_fused = W.fused_window_attention
+        orig_pack = W.window_packed_attention
+        orig_jax = W.jax
+        W.fused_window_attention = spy
+        # the pack kernel can't lower on CPU either once the backend says
+        # tpu-routed shapes qualify; stub it with the oracle shape
+        W.window_packed_attention = (
+            lambda qkv, bias, heads, *a, **k: qkv[..., : qkv.shape[-1] // 3])
+        W.jax = FakeJax()
+        try:
+            assert W.FORCE_FUSED_WINDOW is None
+            self._run(jnp.zeros((2, 1, 1)))  # cosine: must NOT fuse
+            try:
+                self._run(None)  # dot-product: must fuse
+                raise AssertionError(
+                    "dot-product path skipped the fused kernel")
+            except FusedTaken:
+                pass
+        finally:
+            W.fused_window_attention = orig_fused
+            W.window_packed_attention = orig_pack
+            W.jax = orig_jax

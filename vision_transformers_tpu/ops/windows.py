@@ -259,23 +259,35 @@ def shifted_window_attention(
             sumsq = jnp.sum(t32 * t32, axis=-1, keepdims=True)
             return (t32 * jax.lax.rsqrt(sumsq + 1e-12)).astype(t.dtype)
 
-        q6 = qkv.reshape(b, pad_h, pad_w, 3, sec)
         temp = jnp.exp(jnp.minimum(logit_scale, jnp.log(100.0)))
+        if sec == c:
+            # pack path: normalize on the contiguous 6-D per-head view —
+            # the stack keeps one relayout; the sliced/concat section form
+            # below cost SwinV2-T stages 2-3 ~+40-70% on the pack path
+            # (ablation 48.5 -> 53.3 ms, benchmarks/swinv2_fused_ablation)
+            q5 = qkv.reshape(b, pad_h, pad_w, 3, num_heads, dh)
+            qn = _l2n(q5[..., 0, :, :]) * temp.reshape(
+                num_heads, 1).astype(qkv.dtype)
+            kn = _l2n(q5[..., 1, :, :])
+            qkv = jnp.stack([qn, kn, q5[..., 2, :, :]], axis=3).reshape(
+                b, pad_h, pad_w, 3 * c)
+        else:
+            # fused path: sections are lane-padded to 128; normalize the
+            # real lanes per head and re-pad
+            q6 = qkv.reshape(b, pad_h, pad_w, 3, sec)
 
-        def _heads(t):  # real lanes of a section, per-head view
-            return t[..., :c].reshape(b, pad_h, pad_w, num_heads, dh)
+            def _heads(t):  # real lanes of a section, per-head view
+                return t[..., :c].reshape(b, pad_h, pad_w, num_heads, dh)
 
-        def _flat(t):  # back to a (lane-padded) section
-            t = t.reshape(b, pad_h, pad_w, c)
-            if sec != c:
-                t = jnp.pad(t, ((0, 0),) * 3 + ((0, sec - c),))
-            return t
+            def _flat(t):  # back to a (lane-padded) section
+                t = t.reshape(b, pad_h, pad_w, c)
+                return jnp.pad(t, ((0, 0),) * 3 + ((0, sec - c),))
 
-        qn = _l2n(_heads(q6[..., 0, :])) * temp.reshape(
-            num_heads, 1).astype(qkv.dtype)
-        kn = _l2n(_heads(q6[..., 1, :]))
-        qkv = jnp.concatenate(
-            [_flat(qn), _flat(kn), q6[..., 2, :]], axis=-1)
+            qn = _l2n(_heads(q6[..., 0, :])) * temp.reshape(
+                num_heads, 1).astype(qkv.dtype)
+            kn = _l2n(_heads(q6[..., 1, :]))
+            qkv = jnp.concatenate(
+                [_flat(qn), _flat(kn), q6[..., 2, :]], axis=-1)
         scale = 1.0
 
     # Combined additive bias: relative-position bias (shared by all windows)
