@@ -9,7 +9,14 @@ contain 1–3 solid colored rectangles (class = color) on a noisy
 background, a task DETR must localize + classify, and mAP must climb
 from ~0 to a clearly non-trivial value.
 
-Writes benchmarks/detr_convergence_r04.json.
+r5 (VERDICT #2): the r04 run restarted from scratch and was killed at 20
+epochs — strictly weaker evidence than r02's 150-epoch 0.239-and-climbing.
+The soak now checkpoints the TrainState to disk after every chunk and
+RESUMES from it on restart (epoch history reloaded from the artifact), so
+a tunnel wedge or round boundary costs one chunk, never the run. Runs to
+the plateau-stop or SOAK_EPOCHS, whichever first.
+
+Writes benchmarks/detr_convergence_r05.json.
 Run: python benchmarks/detr_convergence.py  (SOAK_EPOCHS=N to override)
 """
 
@@ -65,6 +72,8 @@ def write_synthetic_coco(root, n_images=80, size=96, seed=0):
 def main():
     import tempfile
 
+    import jax
+
     from vision_transformers_tpu.models.object_detection import Detr
     from vision_transformers_tpu.models.object_detection.criterion import (
         SetCriterion,
@@ -97,16 +106,38 @@ def main():
                      dropout=0.0, backbone_norm="group", aux_loss=True)
         crit = SetCriterion(num_classes=len(COLORS) + 1)
 
-        # Chunked training with incremental artifact writes: a tunnel
-        # wedge mid-soak costs one chunk, not the run. The carried state
-        # keeps the optimizer step count, so the lr_drop boundary
+        # Chunked training with incremental artifact writes AND an on-disk
+        # state checkpoint: a tunnel wedge (or round boundary) mid-soak
+        # costs one chunk, not the run — on restart the soak resumes from
+        # the last chunk's TrainState + the artifact's epoch history
+        # (VERDICT r4 #2: the r04 soak restarted from scratch). The carried
+        # state keeps the optimizer step count, so the lr_drop boundary
         # (schedule over optimizer steps) is chunking-invariant.
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "detr_convergence_r04.json")
-        chunk = int(os.environ.get("SOAK_CHUNK", "20"))
-        losses, maps = [], []
+        import flax.serialization
+
+        bdir = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(bdir, "detr_convergence_r05.json")
+        ckpt = os.path.join(bdir, "logs", "detr_soak_state_r05.msgpack")
+        chunk = int(os.environ.get("SOAK_CHUNK", "10"))
+        losses, maps, prior_wall = [], [], 0.0
         state = None
+        if os.path.exists(ckpt) and os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            losses = list(prev["loss"])
+            maps = list(prev["map_per_epoch"])
+            prior_wall = float(prev.get("wall_s", 0.0))
+            skeleton = fit_detection(
+                model, train, 0, val_loader=None,
+                num_classes=len(COLORS) + 1, max_targets=8, criterion=crit,
+                lr=2e-4, lr_drop=lr_drop, seed=0, verbose=False,
+            )["final_state"]
+            with open(ckpt, "rb") as f:
+                state = flax.serialization.from_bytes(skeleton, f.read())
+            print(f"resumed at epoch {len(losses)} "
+                  f"(step {int(state.step)})", flush=True)
         t0 = time.time()
+        out = None
         while len(losses) < epochs:
             n = min(chunk, epochs - len(losses))
             hist = fit_detection(
@@ -123,13 +154,20 @@ def main():
                 "task": ("synthetic color-rectangles "
                          "(1-3 objects, 4 classes, 96px)"),
                 "epochs": len(losses), "lr_drop": lr_drop,
-                "wall_s": round(time.time() - t0, 1),
+                "wall_s": round(prior_wall + time.time() - t0, 1),
                 "loss": losses, "map_per_epoch": maps,
                 "final_map": maps[-1] if maps else None,
                 "best_map": max(maps) if maps else None,
             }
-            with open(path, "w") as f:
+            tmp = ckpt + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(flax.serialization.to_bytes(
+                    jax.device_get(state)))
+            os.replace(tmp, ckpt)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(out, f, indent=1)
+            os.replace(tmp, path)
             print(f"epoch {len(losses)}: loss {losses[-1]} "
                   f"mAP {maps[-1]} (best {max(maps)})", flush=True)
             # plateau stop: past the lr drop and no meaningful
@@ -141,6 +179,9 @@ def main():
                     json.dump(out, f, indent=1)
                 break
 
+    if out is None:  # resumed past the target epoch count: nothing to do
+        print(f"already at {len(losses)} epochs; artifact is complete")
+        return
     print(f"{out['epochs']} epochs in {out['wall_s']:.0f}s — loss "
           f"{losses[0]} -> {losses[-1]}, mAP {maps[0]} -> {maps[-1]} "
           f"(best {out['best_map']})")

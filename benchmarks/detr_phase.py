@@ -1,5 +1,12 @@
 """DETR-R50 512px per-phase timing + FLOP accounting (VERDICT r2 #6).
 
+RETIRED (r5): this methodology times standalone phases through the tunnel
+(per-call dispatch ~1 ms dominates small phases; the committed artifact's
+phase_sum_vs_forward=2.642 is self-refuting), its shape model is wrong
+(S=(IMG//32)^2, but the model taps the dilated stride-16 C5 so the encoder
+runs at S=1024), and pixel_mask=ones means all-padding per Detr.__call__.
+Kept only as history; use benchmarks/detr_train_residue.py instead.
+
 Gives the 68 img/s headline a denominator: analytic FLOPs per phase
 (backbone / encoder / decoder / heads / criterion+matcher) and measured
 per-phase times, reconciled against the full forward and train step.

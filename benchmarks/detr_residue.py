@@ -1,5 +1,12 @@
 """DETR per-phase DEVICE time via in-graph iteration (r4).
 
+PARTIALLY SUPERSEDED (r5): the scan methodology stands (train_step_ms /
+forward_ms are good), but the standalone encoder/decoder cells here run
+S=(IMG//32)^2=256 while the model's dilated stride-16 C5 gives S=1024,
+the FLOP model understates encoder/decoder work for the same reason, and
+pixel_mask=ones means ALL-PADDING per Detr.__call__ (True=pad). The
+authoritative train-step receipts are benchmarks/detr_train_residue.py.
+
 detr_phase_r04.json showed a paradox: backbone-alone (23.95 ms) ~= full
 forward (23.7 ms), yet standalone encoder/decoder measured 19.6/19.1 ms
 each — the sum is 2.6x the whole. Queued-dispatch overhead is tiny for

@@ -216,8 +216,12 @@ def main():
                           iters=args.iters)
         rows.append(row)
         print(json.dumps(row), flush=True)
-        with open(out_path, "w") as f:
+        # atomic write (ADVICE r4 #3): a killed run must never leave a
+        # half-rewritten receipt that a done-check could accept
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(rows, f, indent=1)
+        os.replace(tmp, out_path)
     print("wrote", out_path)
 
 

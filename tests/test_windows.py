@@ -402,7 +402,7 @@ class TestCosineRouting:
             x, qkv_k, None, proj_k, None, None, window_size=(7, 7),
             num_heads=heads, shift_size=(0, 0), logit_scale=logit_scale)
 
-    def test_cosine_routes_to_pack_on_tpu_default(self):
+    def test_cosine_routes_to_pack_on_tpu_default(self, monkeypatch):
         import vision_transformers_tpu.ops.windows as W
 
         class FusedTaken(Exception):
@@ -419,25 +419,22 @@ class TestCosineRouting:
             def default_backend():
                 return "tpu"
 
-        orig_fused = W.fused_window_attention
-        orig_pack = W.window_packed_attention
-        orig_jax = W.jax
-        W.fused_window_attention = spy
+        # pin the routing globals for this test's scope (another test
+        # leaking FORCE_FUSED_WINDOW must not flip the assertion below),
+        # and monkeypatch auto-restores everything on exit
+        monkeypatch.setattr(W, "FORCE_FUSED_WINDOW", None)
+        monkeypatch.setattr(W, "FORCE_PACK_PATH", False)
+        monkeypatch.setattr(W, "fused_window_attention", spy)
         # the pack kernel can't lower on CPU either once the backend says
         # tpu-routed shapes qualify; stub it with the oracle shape
-        W.window_packed_attention = (
+        monkeypatch.setattr(
+            W, "window_packed_attention",
             lambda qkv, bias, heads, *a, **k: qkv[..., : qkv.shape[-1] // 3])
-        W.jax = FakeJax()
+        monkeypatch.setattr(W, "jax", FakeJax())
+        self._run(jnp.zeros((2, 1, 1)))  # cosine: must NOT fuse
         try:
-            assert W.FORCE_FUSED_WINDOW is None
-            self._run(jnp.zeros((2, 1, 1)))  # cosine: must NOT fuse
-            try:
-                self._run(None)  # dot-product: must fuse
-                raise AssertionError(
-                    "dot-product path skipped the fused kernel")
-            except FusedTaken:
-                pass
-        finally:
-            W.fused_window_attention = orig_fused
-            W.window_packed_attention = orig_pack
-            W.jax = orig_jax
+            self._run(None)  # dot-product: must fuse
+            raise AssertionError(
+                "dot-product path skipped the fused kernel")
+        except FusedTaken:
+            pass

@@ -206,7 +206,7 @@ def shifted_window_attention(
     # read in place) is already spent; route cosine to the pack path.
     use_fused = (
         FORCE_FUSED_WINDOW if FORCE_FUSED_WINDOW is not None
-        else jax.default_backend() == "tpu" and logit_scale is None
+        else (jax.default_backend() == "tpu" and logit_scale is None)
     )
     fused_plan = None
     if use_fused and drop == 0.0:
