@@ -62,6 +62,72 @@ def make_procedural_dataset(n_train=50_000, n_test=10_000, classes=100,
             (imgs[n_train:], labels[n_train:]))
 
 
+def make_procedural_dataset_v2(n_train=10_000, n_test=5_000, classes=100,
+                               size=32, seed=0, occlusion=3, noise=40.0,
+                               motif_jitter=6):
+    """De-saturated successor to make_procedural_dataset (VERDICT r4 #1/#4:
+    the v1 task is so learnable every model hits ~1.0 test accuracy, zero
+    discriminative signal).
+
+    A class is a spatial COMPOSITION of two 8x8 motifs over a class-specific
+    4x4 layout — local texture identity alone is insufficient (each motif
+    is shared by ~8 classes), so the model must bind texture to position,
+    the thing hierarchical/windowed models are built for. Saturation is
+    broken by sample complexity, not label noise: 100 samples/class against
+    per-sample global roll, per-motif phase jitter, random occluding
+    patches, strong pixel noise, and brightness/contrast jitter. Layouts
+    are mirror-symmetrized so the reference hflip augmentation stays
+    label-consistent (like CIFAR classes). Test samples come from the same
+    generator with a held-out seed stream.
+    """
+    rng = np.random.RandomState(seed)
+    # motif bank shared across classes: 25 motifs, each class picks 2
+    n_motifs = 25
+    motifs = rng.randint(0, 255, (n_motifs, 8, 8, 3)).astype(np.float32)
+    pair = np.stack([rng.choice(n_motifs, 2, replace=False)
+                     for _ in range(classes)])  # (classes, 2)
+    # class layout: 4x4 binary grid choosing motif A or B per cell,
+    # symmetrized left-right so hflip is label-preserving
+    half = rng.randint(0, 2, (classes, 4, 2))
+    layout = np.concatenate([half, half[:, :, ::-1]], axis=2)  # (c,4,4)
+
+    cell = size // 4  # 8 at size 32
+
+    def render(labels, stream):
+        n = len(labels)
+        imgs = np.empty((n, size, size, 3), np.float32)
+        for i, lab in enumerate(labels):
+            a, b = pair[lab]
+            # per-sample motif phase jitter: roll each motif's texture
+            ma = np.roll(motifs[a], stream.randint(0, 8, 2), axis=(0, 1))
+            mb = np.roll(motifs[b], stream.randint(0, 8, 2), axis=(0, 1))
+            tile_a = np.tile(ma, (size // 8, size // 8, 1))[:size, :size]
+            tile_b = np.tile(mb, (size // 8, size // 8, 1))[:size, :size]
+            sel = np.repeat(np.repeat(layout[lab], cell, 0), cell, 1)
+            img = np.where(sel[..., None] > 0, tile_a, tile_b)
+            # global roll (translation pressure)
+            img = np.roll(img, stream.randint(-motif_jitter,
+                                              motif_jitter + 1, 2),
+                          axis=(0, 1))
+            # occluding patches of random gray
+            for _ in range(stream.randint(0, occlusion + 1)):
+                ow, oh = stream.randint(5, 13, 2)
+                ox = stream.randint(0, size - ow)
+                oy = stream.randint(0, size - oh)
+                img[oy:oy + oh, ox:ox + ow] = stream.randint(0, 256)
+            imgs[i] = img
+        imgs += stream.normal(0, noise, imgs.shape)
+        imgs *= stream.uniform(0.7, 1.3, (n, 1, 1, 1))
+        imgs += stream.uniform(-30, 30, (n, 1, 1, 1))
+        return np.clip(imgs, 0, 255).astype(np.uint8)
+
+    tr_y = rng.randint(0, classes, n_train).astype(np.int32)
+    te_y = rng.randint(0, classes, n_test).astype(np.int32)
+    tr_x = render(tr_y, np.random.RandomState(seed + 1))
+    te_x = render(te_y, np.random.RandomState(seed + 2))
+    return (tr_x, tr_y), (te_x, te_y)
+
+
 def main():
     from vision_transformers_tpu.cli import _model_for
     from vision_transformers_tpu.training.device_data import fit_on_device

@@ -74,6 +74,15 @@ def main():
 
     import jax
 
+    # fit_detection re-traces its per-call train_step closure each chunk;
+    # a persistent compilation cache turns the per-chunk recompile into a
+    # disk hit (the executable is identical — same HLO, same donations)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "logs", "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from vision_transformers_tpu.models.object_detection import Detr
     from vision_transformers_tpu.models.object_detection.criterion import (
         SetCriterion,
@@ -125,7 +134,12 @@ def main():
             with open(path) as f:
                 prev = json.load(f)
             losses = list(prev["loss"])
-            maps = list(prev["map_per_epoch"])
+            # mAP history is (epoch, mAP) points; migrate the dense
+            # per-epoch list the pre-sparse-eval artifact carried
+            maps = ([list(p) for p in prev["map_points"]]
+                    if "map_points" in prev else
+                    [[i + 1, m]
+                     for i, m in enumerate(prev["map_per_epoch"])])
             prior_wall = float(prev.get("wall_s", 0.0))
             skeleton = fit_detection(
                 model, train, 0, val_loader=None,
@@ -136,28 +150,47 @@ def main():
                 state = flax.serialization.from_bytes(skeleton, f.read())
             print(f"resumed at epoch {len(losses)} "
                   f"(step {int(state.step)})", flush=True)
+        # One persistent jitted predict reused across chunks (a per-chunk
+        # closure would re-trace + re-compile through the tunnel each
+        # time); eval runs once per CHUNK, not per epoch — at 80 imgs the
+        # per-epoch eval + per-step loss syncs were ~90% of the 33 s/epoch
+        # the r04/early-r05 soaks paid.
+        from vision_transformers_tpu.training.detection import (
+            evaluate_model,
+        )
+        from vision_transformers_tpu.models.object_detection.detr import (
+            PostProcess,
+        )
+
+        predict = jax.jit(
+            lambda p, im, m: model.apply({"params": p}, im, m))
+        post = PostProcess()
+
         t0 = time.time()
         out = None
         while len(losses) < epochs:
             n = min(chunk, epochs - len(losses))
             hist = fit_detection(
-                model, train, n, val_loader=val,
+                model, train, n, val_loader=None,
                 num_classes=len(COLORS) + 1, max_targets=8, criterion=crit,
                 lr=2e-4, lr_drop=lr_drop, seed=0, verbose=False,
                 state=state)
             state = hist["final_state"]
             losses += [round(float(v), 4) for v in hist["loss"]]
-            maps += [round(float(m.get("AP", m.get("mAP", 0.0))
-                                 if isinstance(m, dict) else m), 4)
-                     for m in hist["metrics"]]
+            m = evaluate_model(
+                lambda im, msk: predict(state.params, im, msk), val, post)
+            maps.append([len(losses),
+                         round(float(m.get("AP", m.get("mAP", 0.0))), 4)])
+            mvals = [p[1] for p in maps]
             out = {
                 "task": ("synthetic color-rectangles "
                          "(1-3 objects, 4 classes, 96px)"),
                 "epochs": len(losses), "lr_drop": lr_drop,
+                "eval_every_epochs": chunk,
                 "wall_s": round(prior_wall + time.time() - t0, 1),
-                "loss": losses, "map_per_epoch": maps,
-                "final_map": maps[-1] if maps else None,
-                "best_map": max(maps) if maps else None,
+                "loss": losses, "map_points": maps,
+                "final_map": mvals[-1] if mvals else None,
+                "best_map": max(mvals) if mvals else None,
             }
             tmp = ckpt + ".tmp"
             with open(tmp, "wb") as f:
@@ -169,11 +202,13 @@ def main():
                 json.dump(out, f, indent=1)
             os.replace(tmp, path)
             print(f"epoch {len(losses)}: loss {losses[-1]} "
-                  f"mAP {maps[-1]} (best {max(maps)})", flush=True)
+                  f"mAP {maps[-1][1]} (best {max(mvals)})", flush=True)
             # plateau stop: past the lr drop and no meaningful
-            # improvement across the last 100 epochs
-            if (len(maps) >= max(200, lr_drop + 60)
-                    and max(maps[-100:]) < max(maps[:-100]) + 0.005):
+            # improvement across the last 100 epochs' eval points
+            tail = [v for e, v in maps if e > len(losses) - 100]
+            head = [v for e, v in maps if e <= len(losses) - 100]
+            if (len(losses) >= max(200, lr_drop + 60)
+                    and head and max(tail) < max(head) + 0.005):
                 out["stopped"] = "plateau"
                 with open(path, "w") as f:
                     json.dump(out, f, indent=1)
@@ -183,7 +218,7 @@ def main():
         print(f"already at {len(losses)} epochs; artifact is complete")
         return
     print(f"{out['epochs']} epochs in {out['wall_s']:.0f}s — loss "
-          f"{losses[0]} -> {losses[-1]}, mAP {maps[0]} -> {maps[-1]} "
+          f"{losses[0]} -> {losses[-1]}, mAP {maps[0][1]} -> {maps[-1][1]} "
           f"(best {out['best_map']})")
     print("wrote", path)
 

@@ -199,8 +199,9 @@ def main():
         return ms
 
     def _write(rep):
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "detr_train_residue_r05.json")
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            os.environ.get("DETR_RESIDUE_OUT", "detr_train_residue_r05.json"))
         tmp = out + ".tmp"
         with open(tmp, "w") as f:
             json.dump(rep, f, indent=1)

@@ -104,16 +104,25 @@ def twins_stage_macs(image=224, patch=4, embed=(64, 128, 256, 512),
     return stages
 
 
+def vit_stage_macs(image=224, patch=16, layers=12, d=768, mlp=3072):
+    """ViT as a single 'stage' (for the --train columns, VERDICT r4 #6)."""
+    t = (image // patch) ** 2 + 1
+    per_block = 4 * t * d * d + 2 * t * t * d + 2 * t * d * mlp
+    return [t * (patch * patch * 3) * d + layers * per_block]
+
+
 # --- model builders (full + truncated to the first k stages) -------------
 
 def build(name, k=None):
     """Model truncated to its first k stages (k=None: full)."""
     from vision_transformers_tpu.models.image_classification import (
-        PVT, SwinTransformer, SwinTransformerV2, TwinSVT,
+        PVT, SwinTransformer, SwinTransformerV2, TwinSVT, ViT,
     )
     from vision_transformers_tpu.utils.args import get_args
 
     args = get_args(f"{name}_imagenet")
+    if name.startswith("vit"):
+        return ViT(**args, dtype=jnp.bfloat16), args
     if name.startswith("swin"):
         cls = SwinTransformerV2 if "v2" in name else SwinTransformer
         if k is not None:
@@ -134,6 +143,11 @@ def build(name, k=None):
 
 
 def stage_macs_for(name, args):
+    if name.startswith("vit"):
+        return vit_stage_macs(
+            image=args["image_size"], patch=args["patch_size"],
+            layers=args["num_layers"], d=args["hidden_dim"],
+            mlp=args["mlp_dim"])
     if name.startswith("swin"):
         return swin_stage_macs(
             image=args["image_size"], patch=args["patch_size"][0],
@@ -169,7 +183,34 @@ def time_model(model, batch, image, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def bench_model(name, batch, per_stage=False, iters=20):
+def time_train(model, batch, image, iters=10):
+    """Full production train step (fwd+bwd+AdamW via train_step_fn) ms."""
+    from vision_transformers_tpu.training.trainer import (
+        make_train_state, train_step_fn,
+    )
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, image, image, 3), jnp.float32)
+    labels = jnp.zeros((batch,), jnp.int32)
+    w = jnp.ones((batch,), jnp.float32)
+    state = make_train_state(model, jax.random.PRNGKey(0), x[:1], lr=1e-3)
+    rng = jax.random.PRNGKey(1)
+    step = jax.jit(train_step_fn(model), donate_argnums=0)
+    if jax.default_backend() == "tpu":
+        # train step best at 64 MB scoped VMEM (bench.py measured sweep)
+        step = step.lower(state, x, labels, w, rng).compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"})
+    state, l, _, _ = step(state, x, labels, w, rng)
+    float(l)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, l, _, _ = step(state, x, labels, w, rng)
+    float(l)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_model(name, batch, per_stage=False, iters=20, train=False,
+                train_batch=None):
     model, args = build(name)
     image = args.get("image_size") or args.get("img_size")
     ms = time_model(model, batch, image, iters)
@@ -195,6 +236,15 @@ def bench_model(name, batch, per_stage=False, iters=20):
             round(2 * m * batch / (v / 1e3) / V5E_PEAK_FLOPS, 4)
             if v > 0 else None
             for m, v in zip(stages, stage_ms)]
+    if train:
+        tb = train_batch or batch
+        tms = time_train(model, tb, image, iters=max(iters // 2, 5))
+        row["train_batch"] = tb
+        row["train_ms"] = round(tms, 1)
+        row["train_img_per_s"] = round(tb / tms * 1e3, 1)
+        # train ≈ 3× fwd FLOPs (fwd + 2× bwd), the bench.py convention
+        row["train_mfu"] = round(
+            tb / tms * 1e3 * 3 * flops / V5E_PEAK_FLOPS, 4)
     return row
 
 
@@ -206,6 +256,10 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--stages", action="store_true",
                     help="per-stage timing via truncated models")
+    ap.add_argument("--train", action="store_true",
+                    help="also time the full train step (fwd+bwd+AdamW)")
+    ap.add_argument("--train-batch", type=int, default=None,
+                    help="train-step batch (default: --batch)")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -213,7 +267,8 @@ def main():
     rows = []
     for name in args.models.split(","):
         row = bench_model(name.strip(), args.batch, per_stage=args.stages,
-                          iters=args.iters)
+                          iters=args.iters, train=args.train,
+                          train_batch=args.train_batch)
         rows.append(row)
         print(json.dumps(row), flush=True)
         # atomic write (ADVICE r4 #3): a killed run must never leave a

@@ -86,210 +86,123 @@ def bench_done():
     return False
 
 
-def hier_done():
-    d = load_json("hier_bench_r04.json")
-    return (isinstance(d, list) and len(d) >= 4
-            and all("stage_ms" in r for r in d))
-
-
-def superleaf_done():
-    d = load_json("adam_superleaf_r04.json")
-    return (isinstance(d, dict) and d.get("backend") == "tpu"
-            and "superleaf_ms" in d.get("steps", {}))
-
-
-def rc_done(step):
+def _tpu_dict(name, *keys):
     def check():
-        return load_state().get(step, {}).get("rc") == 0
+        d = load_json(name)
+        return (isinstance(d, dict) and d.get("backend") == "tpu"
+                and all(k in d for k in keys))
     return check
 
 
-def pack_sweep_done():
-    d = load_json("window_pack_sweep_r04.json")
-    return (isinstance(d, list) and len(d) >= 4
-            and all(isinstance(r, dict) and "stage" in r for r in d))
+def kernel_valid_done():
+    d = load_json("kernel_validation_results.json")
+    # must include the r5 split-dropout cases AND all pass
+    return (isinstance(d, dict) and d.get("all_ok") is True
+            and any("split_dropout" in r.get("name", "")
+                    for r in d.get("results", [])))
 
 
-def detr_phase_done():
-    d = load_json("detr_phase_r04.json")
-    return (isinstance(d, dict)
-            and "train_step" in d.get("measured_ms", {}))
-
-
-def serving_done():
-    d = load_json("serving_bench_r04.json")
+def dropkernel_done():
+    d = load_json("detr_train_residue_r05_dropkernel.json")
+    # "terms" only lands after the full differencing sweep; the early
+    # partial write (full/no_dropout only) must not count as complete
     return (isinstance(d, dict) and d.get("backend") == "tpu"
-            and len(d.get("buckets", {})) >= 4)
+            and "terms" in d)
 
 
-def window_fused_done():
-    d = load_json("window_fused_r04.json")
+def window_variant_done():
+    d = load_json("window_variant_sweep_r05.json")
+    return (isinstance(d, list) and len(d) >= 8
+            and all(isinstance(r, dict) for r in d))
+
+
+def int8_done():
+    d = load_json("int8_receipts_r05.json")
     return (isinstance(d, dict) and d.get("backend") == "tpu"
-            and len(d.get("models", {})) >= 3)
+            and "per_op" in d and "trained_accuracy" in d)
 
 
-def hier_rerun_done():
-    d = load_json("hier_bench_r04b.json")
-    return (isinstance(d, list) and len(d) >= 4
-            and all("stage_ms" in r for r in d))
+def vit_train_residue_done():
+    d = load_json("vit_train_residue_r05.json")
+    return (isinstance(d, dict) and d.get("backend") == "tpu"
+            and "train_step" in d and len(d.get("stages", {})) >= 4)
 
 
-def pack_bias_done():
-    d = load_json("pack_bias_dtype_r04.json")
-    return isinstance(d, dict) and d.get("backend") == "tpu"
+def hier_train_done():
+    d = load_json("hier_train_r05.json")
+    return (isinstance(d, list) and len(d) >= 5
+            and all("train_ms" in r for r in d))
 
 
-def distill_done():
-    # a full CPU run (insurance during a tunnel outage) is honest evidence
-    # but the chip rerun is still preferred — require backend == tpu here;
-    # the pre-rerun backup keeps the CPU artifact as .bak
-    d = load_json("distill_r04.json")
+def distill_collapse_done():
+    d = load_json("distill_collapse_diag.json")
+    return isinstance(d, dict) and len(d.get("arms", {})) >= 3
+
+
+def distill_noise_done():
+    d = load_json("distill_noise_r05.json")
     return (isinstance(d, dict) and "distillation_delta" in d
-            and d.get("teacher_epochs", 0) >= 80
             and d.get("backend") == "tpu")
 
 
-def distill_stale():
-    d = load_json("distill_r04.json")
-    return isinstance(d, dict) and d.get("teacher_epochs", 99) < 80
+def zoo_cal_done():
+    d = load_json("zoo_calibration.json")
+    # at least one candidate setting landed in the discriminative band
+    def band(v):
+        return isinstance(v, dict) and any(
+            isinstance(m, dict) and 0.3 <= m.get("final_test_acc", 9) <= 0.85
+            for m in v.values())
+    return isinstance(d, dict) and any(band(v) for v in d.values())
+
+
+def zoo_v2_done():
+    d = load_json("convergence_zoo_r05.json")
+    return (isinstance(d, dict)
+            and d.get("recipe", {}).get("epochs", 0) >= 100
+            and len(d.get("runs", {})) >= 9)
 
 
 def detr_soak_done():
-    d = load_json("detr_convergence_r04.json")
+    d = load_json("detr_convergence_r05.json")
     return (isinstance(d, dict)
             and (d.get("stopped") == "plateau" or d.get("epochs", 0) >= 500))
 
 
-def hier_flat_done():
-    d = load_json("hier_bench_r04c.json")
-    return (isinstance(d, list) and len(d) >= 4
-            and all("stage_ms" in r for r in d))
-
-
-def window_fused_flat_done():
-    d = load_json("window_fused_flat_r04.json")
-    return (isinstance(d, dict) and d.get("backend") == "tpu"
-            and len(d.get("models", {})) >= 3)
-
-
-def hier_routed_done():
-    d = load_json("hier_bench_r04d.json")
-    return (isinstance(d, list) and len(d) >= 4
-            and all("stage_ms" in r for r in d))
-
-
-def swinv2_restore_done():
-    d = load_json("hier_swinv2_r04e.json")
-    return (isinstance(d, list) and len(d) >= 1
-            and all("stage_ms" in r for r in d))
-
-
-def detr_residue_done():
-    d = load_json("detr_residue_r04.json")
-    return (isinstance(d, dict) and d.get("backend") == "tpu"
-            and "matcher_ms" in d)
-
-
-def swinv2_ablation_done():
-    d = load_json("swinv2_fused_ablation_r04.json")
-    return (isinstance(d, dict)
-            and all("swinv2t_224" in d.get(k, {}) for k in ("fused", "pack")))
-
-
-def distill_noise_done():
-    d = load_json("distill_noise_r04.json")
-    return (isinstance(d, dict) and "distillation_delta" in d
-            and d.get("backend") == "tpu")
-
-
-def zoo_done():
-    d = load_json("convergence_zoo_r04.json")
-    return (isinstance(d, dict)
-            and d.get("recipe", {}).get("epochs", 0) >= 100
-            and len(d.get("runs", {})) >= 7)
-
-
-def zoo_stale():
-    d = load_json("convergence_zoo_r04.json")
-    return (isinstance(d, dict)
-            and d.get("recipe", {}).get("epochs", 99) < 100)
-
-
 PY = sys.executable
 # (name, argv, timeout_s, env, done_fn, stale_artifact|None, backup|None)
+# r5 queue (VERDICT r4 "Next round" items). Short receipts first so a
+# tunnel wedge costs the least; multi-hour soaks last. The DETR soak
+# resumes from its msgpack checkpoint, so even a timeout keeps progress.
 STEPS = [
-    ("bench", [PY, "bench.py"], 900,
-     {"BENCH_ATTEMPT_TIMEOUT": "420", "BENCH_TOTAL_BUDGET": "850"},
-     bench_done, None, None),
-    ("hier_stages", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
-     {}, hier_done, None, None),
-    ("adam_superleaf", [PY, "benchmarks/adam_superleaf.py"], 1200,
-     {}, superleaf_done, None, None),
-    ("layout_ablation", [PY, "benchmarks/swin_layout_ablation.py"], 1200,
-     {}, rc_done("layout_ablation"), None, None),
-    ("swin_residue", [PY, "benchmarks/swin_residue.py"], 1800,
-     {}, rc_done("swin_residue"), None, None),
-    ("pack_sweep", [PY, "benchmarks/window_pack_sweep.py"], 1800,
-     {}, pack_sweep_done, None, None),
-    ("detr_phase", [PY, "benchmarks/detr_phase.py"], 1800,
-     {}, detr_phase_done, None, None),
-    ("kernel_valid", [PY, "benchmarks/kernel_validation.py"], 1800,
-     {}, rc_done("kernel_valid"), None, None),
-    ("pack_bias_dtype", [PY, "benchmarks/pack_bias_dtype.py"], 900,
-     {}, pack_bias_done, None, None),
-    ("serving", [PY, "benchmarks/serving_bench.py"], 1200,
-     {}, serving_done, None, None),
-    ("window_fused", [PY, "benchmarks/window_fused_bench.py"], 1800,
-     {}, window_fused_done, None, None),
-    # re-measure hierarchical per-stage MFU on the post-fused-kernel code
-    # (hier_bench_r04.json predates both the periodic-bias pack fix and
-    # the fused window kernel)
-    ("hier_rerun", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
-     {"HIER_OUT": "hier_bench_r04b.json"}, hier_rerun_done, None, None),
-    # soak order: distill (short) -> zoo (7 never-measured families,
-    # VERDICT #6) -> detr last: it already has r2 evidence (mAP 0.239)
-    # and its chunked writer keeps partial progress if the round ends
-    ("distill_soak", [PY, "benchmarks/distill_soak.py"], 7200,
-     {}, distill_done, distill_stale, "distill_r04.json"),
-    ("zoo_soak", [PY, "benchmarks/convergence_zoo_r04.py"], 14400,
-     {}, zoo_done, zoo_stale, "convergence_zoo_r04.json"),
-    # post-flat-kernel remeasure (hier_bench_r04b/window_fused_r04 predate
-    # the flat fused variant that covers Swin-T stages 2-4) — short steps
-    # run before the multi-hour soaks so a tunnel wedge costs the least
-    ("hier_flat", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
-     {"HIER_OUT": "hier_bench_r04c.json"}, hier_flat_done, None, None),
-    ("window_fused_flat", [PY, "benchmarks/window_fused_bench.py"], 1800,
-     {"FUSED_OUT": "window_fused_flat_r04.json"},
-     window_fused_flat_done, None, None),
-    # SwinV2-T regressed 48.5->66.5 ms when the fused kernel landed
-    # (stages 2-3 doubled); per-stage fused-vs-pack receipts decide the
-    # routing fix in ops/windows.py
-    ("swinv2_ablation", [PY, "benchmarks/swinv2_fused_ablation.py"], 1800,
-     {}, swinv2_ablation_done, None, None),
-    # post-routing-fix remeasure: SwinV2 cosine now defaults to the pack
-    # path (ops/windows.py routing receipts) — hier_bench_r04d should show
-    # SwinV2-T back to ~48 ms while Swin-T keeps its fused-kernel 30 ms
-    ("hier_routed", [PY, "benchmarks/hier_bench.py", "--stages"], 2400,
-     {"HIER_OUT": "hier_bench_r04d.json"}, hier_routed_done, None, None),
-    # the pack-path cosine relayout regression (stages 2-3, ablation
-    # 48.5 -> 53.3 ms) was restored to the 6-D stack form in
-    # ops/windows.py; targeted SwinV2-only remeasure
-    ("swinv2_restore",
-     [PY, "benchmarks/hier_bench.py", "--stages",
-      "--models", "swinv2t_224"], 900,
-     {"HIER_OUT": "hier_swinv2_r04e.json"}, swinv2_restore_done, None, None),
-    # scan-based DETR phase split (detr_phase's standalone numbers summed
-    # to 2.6x the whole forward — measurement, not device time)
-    ("detr_residue", [PY, "benchmarks/detr_residue.py"], 2400,
-     {}, detr_residue_done, None, None),
-    # label-noise distillation regime: the first soak's task saturated the
-    # control (distill_r04.json deltas ~0); this one shows the actual win
+    ("kernel_valid_r05", [PY, "benchmarks/kernel_validation.py"], 2400,
+     {}, kernel_valid_done, None, None),
+    ("detr_dropkernel",
+     [PY, "benchmarks/detr_train_residue.py"], 2400,
+     {"DETR_RESIDUE_OUT": "detr_train_residue_r05_dropkernel.json"},
+     dropkernel_done, None, None),
+    ("window_variant", [PY, "benchmarks/window_variant_sweep.py"], 2400,
+     {}, window_variant_done, None, None),
+    ("vit_train_residue", [PY, "benchmarks/vit_train_residue.py"], 2400,
+     {}, vit_train_residue_done, None, None),
+    ("int8_receipts", [PY, "benchmarks/int8_receipts.py"], 3600,
+     {}, int8_done, None, None),
+    ("hier_train",
+     [PY, "benchmarks/hier_bench.py", "--train", "--models",
+      "swint_224,swinv2t_224,pvt_tiny224,twins_svts224,vitl16_224"],
+     3600, {"HIER_OUT": "hier_train_r05.json"}, hier_train_done,
+     None, None),
+    ("distill_collapse", [PY, "benchmarks/distill_collapse_diag.py"], 5400,
+     {}, distill_collapse_done, None, "distill_collapse_diag.json"),
+    ("zoo_calibrate", [PY, "benchmarks/zoo_calibrate.py"], 5400,
+     {}, zoo_cal_done, None, "zoo_calibration.json"),
     ("distill_noise", [PY, "benchmarks/distill_noise_soak.py"], 7200,
-     {}, distill_noise_done, None, "distill_noise_r04.json"),
+     {"DISTILL_NOISE_OUT": "benchmarks/distill_noise_r05.json"},
+     distill_noise_done, None, "distill_noise_r05.json"),
     ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
-     {}, detr_soak_done, None, "detr_convergence_r04.json"),
+     {}, detr_soak_done, None, "detr_convergence_r05.json"),
+    # zoo_v2 (full 10-model soak on the calibrated task) is appended by
+    # hand once zoo_calibrate picks the setting — see convergence_zoo_r05
 ]
-
 
 def probe(timeout=120):
     try:

@@ -17,4 +17,7 @@ if "host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config knob works.
-jax.config.update("jax_platforms", "cpu")
+# VTT_TESTS_ON_TPU=1 opts out, running the suite against the real chip
+# (slower per-test compiles; exercises the non-interpret Pallas paths).
+if os.environ.get("VTT_TESTS_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")

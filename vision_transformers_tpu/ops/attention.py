@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from vision_transformers_tpu.core.initializers import xavier_uniform_init, zeros_init
 from vision_transformers_tpu.ops.flash_attention import (
     flash_attention,
+    flash_dropout_attention,
     packed_flash_attention,
     packed_flash_supported,
 )
@@ -95,12 +96,28 @@ def dot_product_attention(
     kernel_ok = small or bias is None
     if wants_pallas and kernel_ok and mask is None and dropout_rate == 0.0:
         return flash_attention(q, k, v, bias, scale=scale, kv_valid=kv_valid)
-    # key-padding masks (B, 1, 1, Sk) ride the streaming kernel (bias-free)
+    # key-padding masks (B, 1, 1, Sk) ride the kernels (bias-free)
     is_key_padding = (
         mask is not None and mask.ndim == 4
         and mask.shape[1] == 1 and mask.shape[2] == 1
         and mask.shape[0] == q.shape[0]
     )
+    if (wants_pallas and bias is None and dropout_rate > 0.0
+            and dropout_rng is not None
+            and (mask is None or is_key_padding)):
+        # Training-mode probability dropout rides the q-row-blocked kernel
+        # (in-kernel pltpu PRNG, replayed by its Pallas backward) instead of
+        # falling onto the jnp path — at DETR-encoder shapes the fallback's
+        # (B, H, S, S) HBM materializations were ~45 ms of the 98 ms train
+        # step (benchmarks/detr_train_residue_r05.json). Key-padding masks
+        # (the DETR encoder/decoder cross-attn case) fold in as an additive
+        # per-(batch, key) bias.
+        seed = jax.random.randint(
+            dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        return flash_dropout_attention(
+            q, k, v, dropout_rate=dropout_rate, seed=seed,
+            scale=scale, kv_valid=kv_valid,
+            key_mask=None if mask is None else mask[:, 0, 0, :])
     if (wants_pallas and bias is None and is_key_padding
             and dropout_rate == 0.0):
         return flash_attention(

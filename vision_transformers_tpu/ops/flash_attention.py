@@ -73,16 +73,24 @@ def _pick_group_block(g: int, s_q: int, s_k: int, d: int, itemsize: int,
 
 
 def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, *, scale, kv_valid,
-                 bias_ref=None, bias_g=None):
+                 bias_ref=None, bias_g=None, dropout_rate=0.0,
+                 seed_ref=None):
     """One program: a (G_BLK, Sq, D) batch of heads against full K/V.
 
     K arrives pre-transposed as (G_BLK, D, Sk): the QKᵀ contraction then
     runs lane(q)×sublane(kᵀ) — MXU-native, no per-program register
     transposes (the HBM transpose is one fused XLA pass outside).
+
+    ``dropout_rate`` > 0 drops normalized attention probabilities in-kernel
+    via the pltpu PRNG (torch MHA semantics). The mask stream is a function
+    of (seed, program_id) only, so the backward replays it bit-exactly —
+    fwd and bwd must partition G identically (enforced by the callers).
     """
     q = q_ref[...]
     kt = kt_ref[...]
     v = v_ref[...]
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     s = jax.lax.dot_general(
         q, kt,
@@ -105,6 +113,11 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, lse_ref, *, scale, kv_valid,
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     lse_ref[...] = m + jnp.log(denom)  # (G_BLK, Sq, 1)
+    if dropout_rate > 0.0:
+        # drop the (unnormalized) probabilities; dividing the OUTPUT by the
+        # undropped denom is equivalent to dropping normalized probs
+        keep = _dropout_keep(e.shape, dropout_rate)
+        e = jnp.where(keep, e, 0.0) * (1.0 / (1.0 - dropout_rate))
     p = e * pl.reciprocal(denom, approx=False)
 
     o = jax.lax.dot_general(
@@ -431,6 +444,303 @@ def _flash_bwd_pallas(q, k, v, out, lse, do, scale, kv_valid):
         ),
     )(*args)
     return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Dropout attention: q-row-blocked fwd/bwd pair with in-kernel probability
+# dropout for the SPLIT-HEAD path (bias-free, mask-free). Exists because
+# training-mode attention dropout otherwise falls off every kernel onto the
+# XLA path, which materializes (B, H, Sq, Sk) scores in HBM both ways — at
+# DETR-encoder shapes (S=1024, 6 layers) that was ~45 ms of the 98 ms train
+# step (benchmarks/detr_train_residue_r05.json). The packed-QKV kernel has
+# in-kernel dropout but its whole-S score buffer caps it at S ≲ 800; this
+# pair instead blocks Sq (scores (g_blk, q_blk, Sk) live in VMEM, K/V
+# resident per group — they always fit at vision head dims), so it covers
+# the DETR encoder at 512px (S=1024) through COCO scale (S≈4200).
+#
+# PRNG replay contract: the keep-mask stream is a function of
+# (seed, group-block, q-block) — both kernels are launched on the SAME
+# (g_blk, q_blk) partitioning (one shared plan, _dropout_plan), so the
+# backward regenerates the forward's mask bit-exactly, like the packed
+# kernel's (seed, program, head) stream. delta = rowsum(do·out) remains the
+# correct softmax-backward correction under dropout because
+# Σ_k y·dy = do·out with y the DROPPED probabilities.
+
+_DROP_VMEM_TARGET = 10 * 1024 * 1024
+
+
+def _dropout_plan(g: int, s_q: int, s_k: int, d: int, itemsize: int):
+    """(g_blk, q_blk) shared by the dropout fwd and bwd kernels.
+
+    q_blk: 256/128/64 (sublane-aligned; Sq padded up to a multiple) or Sq
+    itself when Sq ≤ 256, sized so ~5 live fp32 (q_blk, Sk) score buffers
+    fit; g_blk: divisor of g that keeps the per-program set under budget
+    (1 at DETR-encoder shapes, larger for small-S decoder blocks)."""
+    q_blk = s_q if s_q <= 256 else 256
+    while q_blk > 64 and 5 * q_blk * s_k * 4 > _DROP_VMEM_TARGET:
+        q_blk //= 2
+    per_group = (5 * q_blk * s_k * 4            # live score-sized buffers
+                 + 2 * (2 * q_blk * d + 2 * s_k * d) * itemsize
+                 + 2 * 2 * s_k * d * 4)         # dk/dv fp32 scratch
+    g_blk = min(max(1, _DROP_VMEM_TARGET // max(per_group, 1)), 8, g)
+    while g_blk > 1 and g % g_blk:
+        g_blk -= 1
+    return g_blk, q_blk
+
+
+def _drop_fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, *,
+                     scale, kv_valid, dropout_rate, nq, mask_ref=None):
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0],
+                        pl.program_id(0) * nq + pl.program_id(1))
+    q = q_ref[...]
+    kt = kt_ref[...]
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, kt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (g_blk, q_blk, Sk)
+    s_k = kt.shape[2]
+    if kv_valid < s_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+    if mask_ref is not None:
+        s = s + mask_ref[...]  # (g_blk, 1, Sk) additive key-padding mask
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    lse_ref[...] = m + jnp.log(denom)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(e.shape, dropout_rate)
+        e = jnp.where(keep, e, 0.0) * (1.0 / (1.0 - dropout_rate))
+    p = e * pl.reciprocal(denom, approx=False)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _drop_bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, out_ref,
+                     lse_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale, kv_valid, dropout_rate, nq, mask_ref=None):
+    """Single-orientation recompute backward (packed-bwd math on split
+    tensors); dk/dv accumulate across the sequential q-block grid dim.
+    With dropout_rate == 0 this is also the VMEM-safe large-S backward
+    (the dual-orientation _bwd_kernel keeps whole-S score buffers)."""
+    qb = pl.program_id(1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0) * nq + qb)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[...]
+    kt = kt_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    out = out_ref[...]
+    lse = lse_ref[...]
+
+    bmm_nt = lambda a, b: jax.lax.dot_general(   # contract lanes (D or Sk)
+        a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    bmm_tn = lambda a, b: jax.lax.dot_general(   # contract sublanes (q rows)
+        a, b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, kt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (g_blk, q_blk, Sk)
+    s_k = kt.shape[2]
+    if kv_valid < s_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        s = jnp.where(col < kv_valid, s, DEFAULT_MASK_VALUE)
+    if mask_ref is not None:
+        s = s + mask_ref[...]  # (g_blk, 1, Sk) additive key-padding mask
+    p = jnp.exp(s - lse)  # normalized pre-dropout probs
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    dp = bmm_nt(do, v)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(p.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        pd = (jnp.where(keep, p, 0.0) * inv).astype(do.dtype)
+        dp = jnp.where(keep, dp, 0.0) * inv
+    else:
+        pd = p.astype(do.dtype)
+    dv_ref[...] += bmm_tn(pd, do).astype(dv_ref.dtype)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(  # (g, q_blk, Sk) @ (g, Sk, D): contract k
+        ds, kt, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] += bmm_tn(ds, q).astype(dk_ref.dtype)
+
+
+def _dropout_attn_call(q, k, v, seed, scale, kv_valid, dropout_rate,
+                       *, backward, do=None, out=None, lse=None,
+                       mask_add=None):
+    g, s_q, d = q.shape
+    s_k = k.shape[1]
+    g_blk, q_blk = _dropout_plan(g, s_q, s_k, d, q.dtype.itemsize)
+    nq = s_q // q_blk if s_q % q_blk == 0 else -(-s_q // q_blk)
+    pad_q = nq * q_blk - s_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+    kt = k.swapaxes(1, 2)
+    grid = (g // g_blk, nq)
+    qspec = pl.BlockSpec((g_blk, q_blk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    ktspec = pl.BlockSpec((g_blk, d, s_k), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((g_blk, s_k, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((g_blk, q_blk, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    seedspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    maskspec = pl.BlockSpec((g_blk, 1, s_k), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    kwargs = dict(scale=scale, kv_valid=kv_valid,
+                  dropout_rate=dropout_rate, nq=nq)
+    mask_ins, mask_specs = (), ()
+    if mask_add is not None:
+        kwargs["mask_ref"] = True  # replaced positionally below
+        mask_ins, mask_specs = (mask_add,), (maskspec,)
+
+    def kernel_fn(base):
+        if mask_add is None:
+            return functools.partial(base, **kwargs)
+        kw = {k_: v_ for k_, v_ in kwargs.items() if k_ != "mask_ref"}
+
+        def wrapped(seed_ref, *refs):
+            mask_ref = refs[-1 - n_out]
+            ins = refs[:-1 - n_out] + refs[-n_out:]
+            return base(seed_ref, *ins, mask_ref=mask_ref, **kw)
+        return wrapped
+
+    if not backward:
+        n_out = 2
+        o, lse_out = pl.pallas_call(
+            kernel_fn(_drop_fwd_kernel),
+            grid=grid,
+            interpret=interpret,
+            in_specs=[seedspec, qspec, ktspec, kvspec, *mask_specs],
+            out_specs=(qspec, lspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((g, nq * q_blk, d), q.dtype),
+                jax.ShapeDtypeStruct((g, nq * q_blk, 1), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * g * s_q * s_k * d,
+                bytes_accessed=(2 * g * s_q * d + 2 * g * s_k * d)
+                * q.dtype.itemsize,
+                transcendentals=g * s_q * s_k,
+            ),
+        )(seed.astype(jnp.int32), q, kt, v, *mask_ins)
+        return o[:, :s_q], lse_out[:, :s_q]
+
+    if pad_q:
+        do = jnp.pad(do, ((0, 0), (0, pad_q), (0, 0)))
+        out = jnp.pad(out, ((0, 0), (0, pad_q), (0, 0)))
+        # pad rows: p = exp(0*scale - 0) = 1 would poison dk/dv; push the
+        # padded rows' probabilities to exp(-inf - 0) = 0 via lse = +big
+        lse = jnp.pad(lse, ((0, 0), (0, pad_q), (0, 0)),
+                      constant_values=-DEFAULT_MASK_VALUE)
+    kvaccspec = pl.BlockSpec((g_blk, s_k, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    n_out = 3
+    dq, dk, dv = pl.pallas_call(
+        kernel_fn(_drop_bwd_kernel),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[seedspec, qspec, ktspec, kvspec, qspec, qspec, lspec,
+                  *mask_specs],
+        out_specs=(qspec, kvaccspec, kvaccspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, nq * q_blk, d), q.dtype),
+            # fp32: dk/dv accumulate across the sequential q-block dim in
+            # the resident output block; cast to the param dtype outside
+            jax.ShapeDtypeStruct((g, s_k, d), jnp.float32),
+            jax.ShapeDtypeStruct((g, s_k, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * g * s_q * s_k * d,
+            bytes_accessed=8 * g * (s_q + s_k) * d * q.dtype.itemsize,
+            transcendentals=g * s_q * s_k,
+        ),
+    )(seed.astype(jnp.int32), q, kt, v, do, out, lse, *mask_ins)
+    return dq[:, :s_q], dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_dropout_attention(q, k, v, seed, mask_add, scale, kv_valid,
+                             dropout_rate):
+    out, _ = _dropout_attn_call(q, k, v, seed, scale, kv_valid,
+                                dropout_rate, backward=False,
+                                mask_add=mask_add)
+    return out
+
+
+def _flash_dropout_fwd_rule(q, k, v, seed, mask_add, scale, kv_valid,
+                            dropout_rate):
+    out, lse = _dropout_attn_call(q, k, v, seed, scale, kv_valid,
+                                  dropout_rate, backward=False,
+                                  mask_add=mask_add)
+    return out, (q, k, v, seed, mask_add, out, lse)
+
+
+def _flash_dropout_bwd_rule(scale, kv_valid, dropout_rate, res, do):
+    q, k, v, seed, mask_add, out, lse = res
+    dq, dk, dv = _dropout_attn_call(
+        q, k, v, seed, scale, kv_valid, dropout_rate,
+        backward=True, do=do, out=out, lse=lse, mask_add=mask_add)
+    dmask = None if mask_add is None else jnp.zeros_like(mask_add)
+    return dq, dk, dv, None, dmask
+
+
+_flash_dropout_attention.defvjp(_flash_dropout_fwd_rule,
+                                _flash_dropout_bwd_rule)
+
+
+def flash_dropout_attention(q, k, v, *, dropout_rate, seed,
+                            scale=None, kv_valid=None, key_mask=None):
+    """Split-head attention with in-kernel probability dropout.
+
+    q: (B, H, Sq, D); k, v: (B, H, Sk, D). ``seed``: (1,) int32 — the same
+    seed replays the same mask (forward and backward share the stream).
+    ``key_mask``: optional boolean (B, Sk), True = attend (torch
+    key_padding_mask semantics inverted, matching the dispatcher's mask) —
+    folded in as an additive -inf bias per (batch, key). No arbitrary-bias
+    support (those fall back to XLA in the dispatcher); ``kv_valid`` masks
+    trailing pad keys. TPU only (pltpu PRNG)."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+    if kv_valid is None or kv_valid >= s_k:
+        kv_valid = s_k
+    g = b * h
+    mask_add = None
+    if key_mask is not None:
+        mask_add = jnp.where(key_mask, 0.0, DEFAULT_MASK_VALUE)
+        mask_add = jnp.broadcast_to(
+            mask_add.astype(jnp.float32)[:, None, None, :], (b, h, 1, s_k)
+        ).reshape(g, 1, s_k)
+    out = _flash_dropout_attention(
+        q.reshape(g, s_q, d), k.reshape(g, s_k, d), v.reshape(g, s_k, d),
+        seed, mask_add, scale, int(kv_valid), float(dropout_rate))
+    return out.reshape(b, h, s_q, d)
 
 
 # ---------------------------------------------------------------------------
@@ -1707,11 +2017,26 @@ def _flash_attention_fwd(q, k, v, bias, kv_mask, scale, kv_valid, block_q):
 # for shapes where HBM S×S materialization dominates.
 USE_PALLAS_BWD = False
 
+# Above this per-group score size the jnp backward's four (G, Sq, Sk) fp32
+# HBM materializations dominate (DETR encoder at 512px: 64·1024·1024 —
+# ~1 GB of residual traffic per layer-call) and the q-row-blocked Pallas
+# backward (_drop_bwd_kernel at dropout 0) takes over; small-S shapes
+# (ViT-B 197² — XLA overlaps the S×S matmuls well there) stay jnp.
+_PALLAS_BWD_MIN_SCORES = 512 * 512 + 1
+
 
 def _flash_attention_bwd(scale, kv_valid, block_q, res, do):
     q, k, v, bias, kv_mask, out, lse = res
-    if bias is None and kv_mask is None and USE_PALLAS_BWD:
-        dq, dk, dv = _flash_bwd_pallas(q, k, v, out, lse, do, scale, kv_valid)
+    big = q.shape[1] * k.shape[1] >= _PALLAS_BWD_MIN_SCORES
+    if (bias is None and kv_mask is None and (USE_PALLAS_BWD or big)
+            and jax.default_backend() == "tpu"):
+        if big:
+            dq, dk, dv = _dropout_attn_call(
+                q, k, v, jnp.zeros((1,), jnp.int32), scale, kv_valid, 0.0,
+                backward=True, do=do, out=out, lse=lse)
+        else:
+            dq, dk, dv = _flash_bwd_pallas(q, k, v, out, lse, do, scale,
+                                           kv_valid)
         return dq, dk, dv, None, None
     # jnp path (always used for the biased case — dbias needs the full ds).
     qf = q.astype(jnp.float32)

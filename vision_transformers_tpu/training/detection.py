@@ -217,14 +217,17 @@ def fit_detection(
                 nt.tensors, nt.mask, labels, boxes, valid)
             state, loss, losses = train_step(
                 state, images_d, mask_d, labels_d, boxes_d, valid_d, rng)
-            loss = float(loss)
+            # keep the loss on device: a per-step float() would block on a
+            # host sync each step (expensive through the axon tunnel);
+            # non-verbose callers sync once per epoch instead
             epoch_losses.append(loss)
             if verbose:
-                logger.update(loss=loss,
+                logger.update(loss=float(loss),
                               loss_ce=float(losses["loss_ce"]),
                               loss_bbox=float(losses["loss_bbox"]),
                               loss_giou=float(losses["loss_giou"]))
-        history["loss"].append(float(np.mean(epoch_losses)))
+        history["loss"].append(
+            float(np.mean(jax.device_get(epoch_losses))))
 
         if val_loader is not None:
             metrics = evaluate_model(
