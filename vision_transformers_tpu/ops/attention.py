@@ -87,9 +87,10 @@ def dot_product_attention(
 ) -> jax.Array:
     """Backend dispatcher: Pallas flash kernel on TPU, jnp twin elsewhere.
 
-    ``mask`` (arbitrary boolean) and probability dropout force the jnp path;
-    static key-padding should be expressed via ``kv_valid`` instead, which the
-    kernel handles with an iota compare.
+    ``mask`` (arbitrary boolean) forces the jnp path; key-padding masks
+    (B, 1, 1, Sk) and training-mode probability dropout stay on kernels
+    (flash_dropout_attention for dropout > 0). Static trailing key padding
+    should be expressed via ``kv_valid``, an iota compare in-kernel.
     """
     wants_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
     small = q.shape[2] * k.shape[2] <= _PALLAS_MAX_SCORE_ELEMS
