@@ -204,7 +204,7 @@ STEPS = [
     # hand once zoo_calibrate picks the setting — see convergence_zoo_r05
 ]
 
-def probe(timeout=120):
+def probe(timeout=360):
     try:
         r = subprocess.run([PY, "-c", _PROBE_CODE], timeout=timeout,
                            stdout=subprocess.DEVNULL,
