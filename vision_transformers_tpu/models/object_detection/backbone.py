@@ -43,14 +43,19 @@ class FrozenBatchNorm(nn.Module):
         scale, bias, mean, var = map(jax.lax.stop_gradient,
                                      (scale, bias, mean, var))
         inv = scale * jax.lax.rsqrt(var + self.epsilon)
-        return x * inv + (bias - mean * inv)
+        # fold to per-channel (inv, shift) in fp32, then apply in x's dtype:
+        # without the casts the fp32 params promote every feature map to
+        # fp32, doubling the backbone's HBM traffic under bf16 training
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
 
-def _norm(kind: str, features: int, name: str):
+def _norm(kind: str, features: int, name: str, dtype=None):
     if kind == "frozen_bn":
         return FrozenBatchNorm(features, name=name)
     if kind == "group":
-        return nn.GroupNorm(num_groups=32, name=name)
+        # dtype pins the RESULT dtype (stats still reduce in fp32 inside
+        # flax); dtype=None would promote bf16 maps to fp32 via the params
+        return nn.GroupNorm(num_groups=32, dtype=dtype, name=name)
     raise ValueError(kind)
 
 
@@ -69,22 +74,23 @@ class Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        y = _norm(self.norm, self.features, "bn1")(y)
+        y = _norm(self.norm, self.features, "bn1", self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
                     kernel_dilation=(self.dilation,) * 2,
                     padding=[(self.dilation,) * 2] * 2, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
-        y = _norm(self.norm, self.features, "bn2")(y)
+        y = _norm(self.norm, self.features, "bn2", self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv3")(y)
-        y = _norm(self.norm, self.features * 4, "bn3")(y)
+        y = _norm(self.norm, self.features * 4, "bn3", self.dtype)(y)
         if self.downsample:
             residual = nn.Conv(self.features * 4, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
                                dtype=self.dtype, name="down_conv")(x)
-            residual = _norm(self.norm, self.features * 4, "down_bn")(residual)
+            residual = _norm(self.norm, self.features * 4, "down_bn",
+                             self.dtype)(residual)
         return nn.relu(y + residual)
 
 
@@ -101,7 +107,7 @@ class ResNet(nn.Module):
     def __call__(self, x) -> Dict[str, jax.Array]:
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = _norm(self.norm, 64, "bn1")(y)
+        y = _norm(self.norm, 64, "bn1", self.dtype)(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
