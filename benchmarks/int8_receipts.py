@@ -68,7 +68,7 @@ def hlo_receipts():
     from vision_transformers_tpu.serving import quantize_classifier
     from vision_transformers_tpu.utils.args import get_args
 
-    model = ViT(**get_args("vit_base_imagenet"), dtype=jnp.bfloat16)
+    model = ViT(**get_args("vitb16_224_imagenet"), dtype=jnp.bfloat16)
     x1 = jnp.zeros((8, 224, 224, 3), jnp.float32)
     params = jax.eval_shape(
         lambda: model.init({"params": jax.random.PRNGKey(0)},

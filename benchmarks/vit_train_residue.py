@@ -131,8 +131,11 @@ def main():
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return p.reshape(B, -1, 16 * 16 * 3) @ w
 
-    stage("patch_embed", patch_embed, (img, wpe), (0, 1),
-          2 * B * 196 * 768 * D, 4 * B * 196 * 768 * D)
+    # wgrad only: images are leaves in the real train step, so dL/d(img)
+    # (a 224x224x3 scatter through the patch extraction) is never computed
+    # there — differentiating argnum 0 here measured a phantom 215 ms op
+    stage("patch_embed", patch_embed, (img, wpe), (1,),
+          2 * B * 196 * 768 * D, 2 * B * 196 * 768 * D)
 
     # ---- whole-step split on the production trainer -----------------
     from vision_transformers_tpu.models.image_classification import ViT
@@ -141,7 +144,7 @@ def main():
     )
     from vision_transformers_tpu.utils.args import get_args
 
-    model = ViT(**get_args("vit_base_imagenet"), dtype=DT)
+    model = ViT(**get_args("vitb16_224_imagenet"), dtype=DT)
     imgs = jnp.asarray(rng.randn(B, 224, 224, 3), jnp.float32)
     labels = jnp.zeros((B,), jnp.int32)
     wts = jnp.ones((B,), jnp.float32)
