@@ -310,6 +310,79 @@ def validate_window_pack():
     err = float(jnp.max(jnp.abs(gk - gr)))
     record("window_pack_bwd", err < 1e-2, f"max abs err {err:.2e}")
 
+    # r5 Pallas backward kernel: dqkv AND dbias at production Swin-T
+    # shapes (bf16, shared + per-window + lcm-periodic bias tiles),
+    # asserting the kernel path engages (not the jnp-ref fallback)
+    for (g, n, heads, dh, nwp, dtype) in [
+        (512, 49, 3, 32, 1, jnp.bfloat16),
+        (512, 49, 3, 32, 64, jnp.bfloat16),
+        (196, 49, 3, 32, 49, jnp.bfloat16),   # lcm(49,4) periodic tiles
+        (256, 16, 2, 32, 16, jnp.float32),
+    ]:
+        tag = f"g{g} n{n} h{heads} nw{nwp} {jnp.dtype(dtype).name}"
+        bg = fa._window_pack_bwd_gblk(g, n, heads, dh, nwp,
+                                      jnp.dtype(dtype).itemsize)
+        record(f"window_pack_bwd_plan {tag}", bg is not None,
+               f"bwd g_blk={bg}")
+        if bg is None:
+            continue
+        plan = fa.window_pack_plan(g, n, heads, dh, nwp,
+                                   jnp.dtype(dtype).itemsize)
+        qkv = (jax.random.normal(jax.random.PRNGKey(g + nwp),
+                                 (g, n, 3 * heads * dh)) * 0.5).astype(dtype)
+        bias = jax.random.normal(jax.random.PRNGKey(nwp),
+                                 (nwp, heads, n, n)) * 0.1
+        do = (jax.random.normal(jax.random.PRNGKey(g),
+                                (g, n, heads * dh)) * 0.5).astype(dtype)
+        scale = 1.0 / dh ** 0.5
+        _, vjp = jax.vjp(
+            lambda a, b: fa._window_pack(a, b, heads, scale, *plan),
+            qkv, bias)
+        dq, db = vjp(do)
+        _, vjpr = jax.vjp(
+            lambda a, b: fa._window_pack_ref(
+                a, b.astype(a.dtype), heads, scale), qkv, bias)
+        dqr, dbr = vjpr(do)
+        edq = float(jnp.max(jnp.abs(dq.astype(jnp.float32)
+                                    - dqr.astype(jnp.float32))))
+        edb = float(jnp.max(jnp.abs(db - dbr)))
+        tol = 1e-2 if dtype == jnp.float32 else 6e-2
+        record(f"window_pack_bwd_kernel {tag}", edq < tol and edb < tol * 10,
+               f"dqkv err {edq:.2e} dbias err {edb:.2e}")
+
+    # fused backward now rides the pack bwd kernel behind the layout vjp
+    b, side, heads, dh, wh = 8, 28, 6, 32, 7
+    hd = heads * dh
+    nwp = 16
+    fplan = fa.window_fused_plan(b, side, side, wh, wh, heads, dh, nwp, 2)
+    if fplan is None:
+        fplan = fa.window_fused_flat_plan(b, side, side, wh, wh, heads,
+                                          dh, nwp, 2)
+    if fplan is not None:
+        qm = (jax.random.normal(jax.random.PRNGKey(3),
+                                (b, side, side, 3 * hd)) * 0.5
+              ).astype(jnp.bfloat16)
+        bias = jax.random.normal(jax.random.PRNGKey(4),
+                                 (nwp, heads, wh * wh, wh * wh)) * 0.1
+        dom = (jax.random.normal(jax.random.PRNGKey(5),
+                                 (b, side, side, hd)) * 0.5
+               ).astype(jnp.bfloat16)
+        scale = 1.0 / dh ** 0.5
+        _, vjp = jax.vjp(
+            lambda a, c: fa._window_fused(a, c, heads, (wh, wh), (3, 3),
+                                          scale, fplan), qm, bias)
+        dq, db = vjp(dom)
+        _, vjpr = jax.vjp(
+            lambda a, c: fa._window_fused_ref(
+                a, c.astype(a.dtype), heads, (wh, wh), (3, 3), scale, hd),
+            qm, bias)
+        dqr, dbr = vjpr(dom)
+        edq = float(jnp.max(jnp.abs(dq.astype(jnp.float32)
+                                    - dqr.astype(jnp.float32))))
+        edb = float(jnp.max(jnp.abs(db - dbr)))
+        record("window_fused_bwd_kernel", edq < 6e-2 and edb < 6e-1,
+               f"dqkv err {edq:.2e} dbias err {edb:.2e}")
+
 
 def bf16_fingerprints():
     qkv = jax.random.normal(jax.random.PRNGKey(20), (4, 197, 3 * 768)

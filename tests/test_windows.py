@@ -438,3 +438,67 @@ class TestCosineRouting:
                 "dot-product path skipped the fused kernel")
         except FusedTaken:
             pass
+
+
+class TestWindowPackBackward:
+    """The r5 Pallas backward twin of the multi-window pack kernel: grads
+    (dqkv AND dbias) must match jax.vjp through the split-head jnp
+    reference it replaced, for every bias periodicity the plan emits
+    (shared tile, per-window tiles, lcm-periodic tiles, no bias)."""
+
+    def _check(self, g, n, heads, dh, nwp, dtype=jnp.float32, tol=2e-3):
+        import vision_transformers_tpu.ops.flash_attention as FA
+
+        rng = np.random.RandomState(0)
+        hd = heads * dh
+        qkv = jnp.asarray(rng.randn(g, n, 3 * hd) * 0.5, dtype)
+        bias = (None if nwp == 0 else
+                jnp.asarray(rng.randn(nwp, heads, n, n) * 0.5, jnp.float32))
+        do = jnp.asarray(rng.randn(g, n, hd) * 0.5, dtype)
+        scale = 1.0 / dh ** 0.5
+        plan = FA.window_pack_plan(g, n, heads, dh, max(nwp, 1),
+                                   qkv.dtype.itemsize)
+        assert plan is not None
+        assert FA._window_pack_bwd_gblk(
+            g, n, heads, dh, max(nwp, 1), qkv.dtype.itemsize) is not None
+
+        if bias is None:
+            f = lambda a: FA._window_pack(a, None, heads, scale, *plan)
+            fr = lambda a: FA._window_pack_ref(a, None, heads, scale)
+            _, vjp = jax.vjp(f, qkv)
+            (dq,), db = vjp(do), None
+            _, vjpr = jax.vjp(fr, qkv)
+            (dqr,), dbr = vjpr(do), None
+        else:
+            f = lambda a, b: FA._window_pack(a, b, heads, scale, *plan)
+            fr = lambda a, b: FA._window_pack_ref(
+                a, b.astype(a.dtype), heads, scale)
+            _, vjp = jax.vjp(f, qkv, bias)
+            dq, db = vjp(do)
+            _, vjpr = jax.vjp(fr, qkv, bias)
+            dqr, dbr = vjpr(do)
+        np.testing.assert_allclose(
+            np.asarray(dq, np.float32), np.asarray(dqr, np.float32),
+            atol=tol)
+        if bias is not None:
+            np.testing.assert_allclose(
+                np.asarray(db), np.asarray(dbr), atol=tol * 10)
+
+    def test_shared_bias_tile(self):
+        self._check(16, 16, 2, 32, 1)
+
+    def test_per_window_bias_tiles(self):
+        self._check(16, 16, 2, 32, 4)
+
+    def test_no_bias(self):
+        self._check(16, 16, 2, 32, 0)
+
+    def test_pack_width_two(self):
+        self._check(8, 16, 3, 64, 2)
+
+    def test_lcm_periodic_bias(self):
+        # nwp=6 with p=4: tile period lcm(6,4)/4 = 3 packs
+        self._check(24, 16, 2, 32, 6)
+
+    def test_bf16(self):
+        self._check(16, 16, 2, 32, 4, jnp.bfloat16, 5e-2)

@@ -1337,18 +1337,13 @@ def _window_pack_kernel(qkv_ref, bias_ref, o_ref, *, heads, dh, p, n, scale):
         o_ref[:, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
 
 
-def _window_pack_fwd_pallas(qkv, bias, heads, scale, p, g_blk):
-    g, n, three_hd = qkv.shape
-    hd = three_hd // 3
-    dh = hd // heads
-    blk = g_blk * p
-
-    # pack the (nW'|1, H, N, N) bias into per-pack (H, P·N, N) tiles:
-    # window i of pack j carries bias row-block (j·p + i) mod nW'. The tile
-    # pattern is periodic in j with period lcm(nW', p)/p; either the period
-    # tiles into g_blk (constant index map) or g_blk divides the period
-    # (modulo index map) — window_pack_plan only emits such g_blk.
-    bias_dt = qkv.dtype  # VMEM-resident in the compute dtype (see target)
+def _pack_window_bias(bias, heads, n, p, g_blk, bias_dt):
+    """Pack the (nW'|1, H, N, N) bias into per-pack (H, P·N, N) tiles:
+    window i of pack j carries bias row-block (j·p + i) mod nW'. The tile
+    pattern is periodic in j with period lcm(nW', p)/p; either the period
+    tiles into g_blk (constant index map) or g_blk divides the period
+    (modulo index map) — window_pack_plan only emits such g_blk.
+    Returns (bias_pk, bias_index_map)."""
     bias_index_map = lambda i: (0, 0, 0, 0)
     if bias is None:
         bias_pk = jnp.zeros((g_blk, heads, p * n, n), bias_dt)
@@ -1369,6 +1364,18 @@ def _window_pack_fwd_pallas(qkv, bias, heads, scale, p, g_blk):
                 bias_pk = bp
                 n_bias_blocks = period // g_blk
                 bias_index_map = lambda i: (i % n_bias_blocks, 0, 0, 0)
+    return bias_pk, bias_index_map
+
+
+def _window_pack_fwd_pallas(qkv, bias, heads, scale, p, g_blk):
+    g, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    dh = hd // heads
+    blk = g_blk * p
+
+    # bias VMEM-resident in the compute dtype (see target)
+    bias_pk, bias_index_map = _pack_window_bias(
+        bias, heads, n, p, g_blk, qkv.dtype)
 
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
@@ -1416,6 +1423,200 @@ def _window_pack_ref(qkv, bias, heads, scale):
     return o.transpose(0, 2, 1, 3).reshape(g, n, hd).astype(qkv.dtype)
 
 
+def _window_pack_bwd_gblk(g, n, heads, dh, bias_windows, itemsize=2):
+    """g_blk for the backward kernel (same pack width p = 128/dh as the
+    forward, its own VMEM budget: the bwd holds ~4 fp32 (P·N, N) score
+    arrays plus the dS output per program)."""
+    p = 128 // dh
+    if p < 2 or g % p:
+        return None
+    g_packs = g // p
+    period = 1 if bias_windows <= 1 else math.lcm(bias_windows, p) // p
+    hd = heads * dh
+    pn = p * n
+
+    def fits(g_blk):
+        blk = g_blk * p
+        in_b = 2 * blk * n * 3 * hd * itemsize          # qkv
+        do_b = 2 * blk * n * hd * itemsize
+        dq_b = 2 * blk * n * 3 * hd * itemsize          # dqkv out
+        ds_b = 2 * g_blk * heads * pn * n * itemsize    # dS out
+        bias_b = g_blk * heads * pn * max(n, 128) * itemsize
+        # transient per-head live set: 4 fp32 (PN, N) score-class arrays,
+        # 2 bf16 copies, block-diag/cat operands and 3 fp32 (PN|N, 128)
+        # grad outputs
+        live = g_blk * (pn * n * (4 * 4 + 2 * itemsize)
+                        + pn * 128 * (2 * itemsize + 2 * 4)
+                        + n * 128 * (4 * itemsize + 2 * 4))
+        return in_b + do_b + dq_b + ds_b + bias_b + live \
+            <= _WINDOW_PACK_VMEM_TARGET
+
+    cands = {d for d in range(1, period + 1) if period % d == 0}
+    cand = period
+    while cand <= g_packs:
+        cands.add(cand)
+        cand *= 2
+    best = None
+    for c in sorted(cands):
+        if c <= g_packs and g_packs % c == 0 and fits(c):
+            best = c
+    return best
+
+
+def _window_pack_bwd_kernel(qkv_ref, bias_ref, do_ref, dqkv_ref, ds_ref, *,
+                            heads, dh, p, n, scale):
+    """Backward twin of :func:`_window_pack_kernel` — same block-diagonal
+    multi-window MXU packing, 5 (vs the forward's 2) full-depth matmuls
+    per head. dK and dV contract over the packed P·N axis against the
+    block-diagonal operand, so they come out in "cat" layout directly; only
+    dQ needs the forward's diagonal-block extraction. dS (the score grad,
+    pre-scale) is emitted per pack for the bias reduction outside."""
+    hd = heads * dh
+    gbp = qkv_ref.shape[0]
+    gb = gbp // p
+    for h in range(heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, hd + h * dh:hd + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        do = do_ref[:, :, h * dh:(h + 1) * dh]
+
+        q4 = q.reshape(gb, p, n, dh)
+        do4 = do.reshape(gb, p, n, dh)
+        q_bd = jnp.concatenate([
+            jnp.pad(q4[:, i], ((0, 0), (0, 0), (i * dh, (p - 1 - i) * dh)))
+            for i in range(p)
+        ], axis=1)                                       # (Gb, P·N, P·dh)
+        do_bd = jnp.concatenate([
+            jnp.pad(do4[:, i], ((0, 0), (0, 0), (i * dh, (p - 1 - i) * dh)))
+            for i in range(p)
+        ], axis=1)                                       # (Gb, P·N, P·dh)
+        k_cat = jnp.concatenate([
+            k.reshape(gb, p, n, dh)[:, i] for i in range(p)
+        ], axis=2)                                       # (Gb, N, P·dh)
+        v_cat = jnp.concatenate([
+            v.reshape(gb, p, n, dh)[:, i] for i in range(p)
+        ], axis=2)                                       # (Gb, N, P·dh)
+
+        # recompute probs exactly as the forward (same max-subtraction)
+        s = jax.lax.dot_general(
+            q_bd, k_cat,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + bias_ref[:, h].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)   # (Gb, P·N, N) f32
+
+        # dP[i] = dO[i] · V[i]^T : block-diagonal dO against cat V zeroes
+        # the cross-window terms, exactly like the forward's scores
+        dp = jax.lax.dot_general(
+            do_bd, v_cat,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # (Gb, P·N, N)
+        dsoft = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        ds_ref[:, h] = dsoft.astype(ds_ref.dtype)        # pre-scale: dBias
+
+        probs_c = probs.astype(v.dtype)
+        ds_c = (dsoft * scale).astype(q.dtype)
+
+        # dQ[i] = dS[i] · K[i]: contract N, extract diagonal blocks
+        dq_all = jax.lax.dot_general(
+            ds_c, k_cat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # (Gb, P·N, P·dh)
+        dq = jnp.concatenate([
+            dq_all[:, i * n:(i + 1) * n, i * dh:(i + 1) * dh][:, None]
+            for i in range(p)
+        ], axis=1).reshape(gbp, n, dh)
+
+        # dK[j][b,d] = Σ_a dS[j][a,b]·Q[j][a,d]: contracting the packed
+        # P·N axis against block-diagonal Q lands each window's dK in its
+        # own dh-column block — "cat" layout, no transpose needed
+        dk_cat = jax.lax.dot_general(
+            ds_c, q_bd,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # (Gb, N, P·dh)
+        dv_cat = jax.lax.dot_general(
+            probs_c, do_bd,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # (Gb, N, P·dh)
+        dk = jnp.concatenate([
+            dk_cat[:, :, i * dh:(i + 1) * dh][:, None] for i in range(p)
+        ], axis=1).reshape(gbp, n, dh)
+        dv = jnp.concatenate([
+            dv_cat[:, :, i * dh:(i + 1) * dh][:, None] for i in range(p)
+        ], axis=1).reshape(gbp, n, dh)
+
+        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, hd + h * dh:hd + (h + 1) * dh] = dk.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh] = dv.astype(
+            dqkv_ref.dtype)
+
+
+def _window_pack_bwd_pallas(qkv, bias, do, heads, scale, p, g_blk):
+    """Returns (dqkv, dbias|None). dbias is reduced in fp32 from the
+    kernel's per-pack dS output via one lcm-periodic reshape (windows are
+    fastest-varying in G, so window index = global index mod nW')."""
+    g, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    dh = hd // heads
+    blk = g_blk * p
+
+    bias_pk, bias_index_map = _pack_window_bias(
+        bias, heads, n, p, g_blk, qkv.dtype)
+
+    interpret = jax.default_backend() != "tpu"
+    dqkv, ds = pl.pallas_call(
+        functools.partial(_window_pack_bwd_kernel, heads=heads, dh=dh, p=p,
+                          n=n, scale=scale),
+        grid=(g // blk,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((blk, n, three_hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_blk, heads, p * n, n), bias_index_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, n, three_hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_blk, heads, p * n, n), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n, three_hd), qkv.dtype),
+            jax.ShapeDtypeStruct((g // p, heads, p * n, n), qkv.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * g * heads * n * n * dh,
+            bytes_accessed=8 * g * n * hd * qkv.dtype.itemsize,
+            transcendentals=g * heads * n * n,
+        ),
+    )(qkv, bias_pk, do)
+
+    if bias is None:
+        return dqkv, None
+    nwp = bias.shape[0]
+    lcm = math.lcm(nwp, p)
+    # ds rows: pack j, window slot i → global window (j·p + i) mod nW'.
+    # Sum pack cycles (period lcm/p), unstack slots, fold lcm/nW' copies.
+    ds6 = ds.astype(jnp.float32).reshape(
+        g // lcm, lcm // p, heads, p, n, n).sum(0)
+    dbias = ds6.transpose(0, 2, 1, 3, 4).reshape(
+        lcm // nwp, nwp, heads, n, n).sum(0)
+    return dqkv, dbias.astype(bias.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _window_pack(qkv, bias, heads, scale, p, g_blk):
     return _window_pack_fwd_pallas(qkv, bias, heads, scale, p, g_blk)
@@ -1428,6 +1629,18 @@ def _window_pack_fwd_rule(qkv, bias, heads, scale, p, g_blk):
 
 def _window_pack_bwd_rule(heads, scale, p, g_blk, res, do):
     qkv, bias = res
+    g, n, three_hd = qkv.shape
+    dh = three_hd // (3 * heads)
+    nwp = 1 if bias is None else bias.shape[0]
+    bwd_gblk = _window_pack_bwd_gblk(g, n, heads, dh, nwp,
+                                     qkv.dtype.itemsize)
+    if bwd_gblk is not None:
+        # Pallas backward twin (r5): the split-head jnp recompute this
+        # replaced runs at ~4% of roofline at window shapes — it held
+        # Swin-T training at 8.3% MFU (hier_train_r05) while the forward
+        # rode the pack kernel
+        return _window_pack_bwd_pallas(qkv, bias, do, heads, scale, p,
+                                       bwd_gblk)
     if bias is None:
         _, vjp = jax.vjp(
             lambda a: _window_pack_ref(a, None, heads, scale), qkv)
@@ -1904,10 +2117,12 @@ def _window_fused_fwd_pallas(qkv_map, bias, heads, window, shift, scale,
 
 
 def _window_fused_ref(qkv_map, bias, heads, window, shift, scale,
-                      hd=None):
+                      hd=None, attn=None):
     """jnp twin (oracle + recompute backward): the explicit
     roll->partition->attend->reverse->unroll chain. ``hd``: real H·dh when
-    the map's q/k/v sections are lane-padded to sec = map_C // 3."""
+    the map's q/k/v sections are lane-padded to sec = map_C // 3.
+    ``attn``: override for the windowed core (the fused backward swaps in
+    the Pallas pack kernel so only the layout chain is jnp)."""
     b, hp, wp, three_sec = qkv_map.shape
     sec = three_sec // 3
     if hd is None:
@@ -1923,7 +2138,10 @@ def _window_fused_ref(qkv_map, bias, heads, window, shift, scale,
     x = x.reshape(b, hp // wh, wh, wp // ww, ww, 3 * hd)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
         b * (hp // wh) * (wp // ww), wh * ww, 3 * hd)
-    o = _window_pack_ref(x, bias, heads, scale)
+    if attn is None:
+        o = _window_pack_ref(x, bias, heads, scale)
+    else:
+        o = attn(x, bias)
     o = o.reshape(b, hp // wh, wp // ww, wh, ww, hd)
     o = o.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, hd)
     if sh or sw:
@@ -1947,7 +2165,31 @@ def _window_fused_fwd_rule(qkv_map, bias, heads, window, shift, scale, plan):
 
 def _window_fused_bwd_rule(heads, window, shift, scale, plan, res, do):
     qkv_map, bias = res
-    hd = heads * (128 // plan[0])
+    dh = 128 // plan[0]
+    hd = heads * dh
+    b, hp, wp, _ = qkv_map.shape
+    wh, ww = window
+    g = b * (hp // wh) * (wp // ww)
+    nwp = 1 if bias is None else bias.shape[0]
+    pack_plan = window_pack_plan(g, wh * ww, heads, dh, nwp,
+                                 qkv_map.dtype.itemsize)
+    if pack_plan is not None:
+        # Differentiate the (cheap, XLA-native) roll/partition/reverse
+        # layout chain around the PALLAS pack core — its custom vjp is the
+        # r5 backward kernel. _window_fused_ref with the split-head jnp
+        # core is the ~4%-of-roofline path that held windowed-model
+        # training at 5-8% MFU (hier_train_r05).
+        def core(a, c):
+            return _window_fused_ref(
+                a, c, heads, window, shift, scale, hd,
+                attn=lambda x, cb: _window_pack(
+                    x, cb, heads, scale, *pack_plan))
+
+        if bias is None:
+            _, vjp = jax.vjp(lambda a: core(a, None), qkv_map)
+            return vjp(do) + (None,)
+        _, vjp = jax.vjp(core, qkv_map, bias)
+        return vjp(do)
     if bias is None:
         _, vjp = jax.vjp(
             lambda a: _window_fused_ref(a, None, heads, window, shift,
