@@ -113,7 +113,8 @@ def dropkernel_done():
 def window_variant_done():
     d = load_json("window_variant_sweep_r05.json")
     return (isinstance(d, list) and len(d) >= 8
-            and all(isinstance(r, dict) for r in d))
+            and all(isinstance(r, dict) for r in d)
+            and any(r.get("stage") == "full_model" for r in d))
 
 
 def int8_done():

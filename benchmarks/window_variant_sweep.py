@@ -25,7 +25,6 @@ Writes benchmarks/window_variant_sweep_r05.json.
 Run: python benchmarks/window_variant_sweep.py
 """
 
-import functools
 import json
 import os
 import sys
@@ -36,8 +35,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from vision_transformers_tpu.ops.flash_attention import (
     fused_window_attention,
@@ -85,54 +82,50 @@ def timed(fn, x, iters=8, chain=8):
     return (time.perf_counter() - t0) / iters / chain * 1e3
 
 
-def _batched_bias_kernel(qkv_ref, bias_ref, o_ref, *, heads, dh, scale):
-    hd = heads * dh
-    for h in range(heads):
-        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
-        k = qkv_ref[:, :, hd + h * dh:hd + (h + 1) * dh]
-        v = qkv_ref[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[:, h]  # (blk | 1, N, N) broadcasts over windows
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        probs = (e / denom).astype(v.dtype)
-        o = jax.lax.dot_general(
-            probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        o_ref[:, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
-
-
 def batched_attention(qkv, bias, heads, scale, blk):
-    """Per-head batched window attention with grid-modulo bias indexing.
-    qkv: (G, N, 3·H·dh), G = B·n_win (window fastest); bias (nwp, H, N, N)
-    with nwp | blk-period (requires nwp == 1 or nwp % blk == 0)."""
-    g, n, three_hd = qkv.shape
-    hd = three_hd // 3
-    dh = hd // heads
-    nwp = bias.shape[0]
-    if nwp == 1:
-        bspec = pl.BlockSpec((1, heads, n, n), lambda i: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-    else:
-        assert nwp % blk == 0, (nwp, blk)
-        bspec = pl.BlockSpec((blk, heads, n, n),
-                             lambda i: (i % (nwp // blk), 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_batched_bias_kernel, heads=heads, dh=dh,
-                          scale=scale),
-        grid=(g // blk,),
-        in_specs=[pl.BlockSpec((blk, n, three_hd), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM), bspec],
-        out_specs=pl.BlockSpec((blk, n, hd), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, n, hd), qkv.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-    )(qkv, bias)
+    """The r5-adopted production kernel (flash_attention._window_batched);
+    the sweep measures exactly what ships."""
+    from vision_transformers_tpu.ops.flash_attention import _window_batched
+    return _window_batched(qkv, bias, heads, scale, blk)
+
+
+def full_model_rows(rows, out_path):
+    """End-to-end adjudication (VERDICT r4 #5): full-model inference with
+    the adopted batched routing vs the pre-adoption routing, for the three
+    windowed families. Uses hier_bench's builders so the numbers are
+    directly comparable to the hier receipts."""
+    import vision_transformers_tpu.ops.windows as W
+    from hier_bench import build, time_model
+
+    done = {r.get("model") for r in rows if r.get("stage") == "full_model"}
+    for name in ("swint_224", "swinv2t_224", "twins_svts224"):
+        if name in done:
+            continue
+        model, margs = build(name)
+        image = margs.get("image_size") or margs.get("img_size")
+        row = {"stage": "full_model", "model": name, "B": B, "image": image}
+        for key, force in (("batched_routed_ms", None),
+                           ("no_batched_ms", False)):
+            W.FORCE_BATCHED_WINDOW = force
+            try:
+                row[key] = round(time_model(model, B, image), 3)
+            except Exception as e:  # noqa: BLE001
+                row[key] = str(e)[:80]
+            finally:
+                W.FORCE_BATCHED_WINDOW = None
+            print(json.dumps({k: row.get(k) for k in
+                              ("model", "batched_routed_ms",
+                               "no_batched_ms")}), flush=True)
+        if (isinstance(row.get("batched_routed_ms"), float)
+                and isinstance(row.get("no_batched_ms"), float)):
+            row["speedup"] = round(
+                row["no_batched_ms"] / row["batched_routed_ms"], 4)
+            row["img_per_s"] = round(B / row["batched_routed_ms"] * 1e3, 1)
+        rows.append(row)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rows, f, indent=1)
+        os.replace(tmp, out_path)
 
 
 def main():
@@ -140,6 +133,14 @@ def main():
         os.path.dirname(os.path.abspath(__file__)),
         "window_variant_sweep_r05.json")
     rows = []
+    if os.path.exists(out_path):  # resume: keep completed op-level cells
+        with open(out_path) as f:
+            rows = [r for r in json.load(f) if isinstance(r, dict)]
+    op_done = {(r["stage"], r["shifted"]) for r in rows
+               if "shifted" in r and not any(
+                   isinstance(v, str) and v for k, v in r.items()
+                   if k in ("pack", "xla", "batched32", "batched128",
+                            "fused"))}
     rng = np.random.RandomState(0)
     for name, side, c, heads in STAGES:
         dh = c // heads
@@ -149,6 +150,10 @@ def main():
             shift = (WH // 2, WW // 2) if shifted else (0, 0)
             if side <= WH and shifted:
                 continue  # shift zeroed when window covers the map
+            if (name, shifted) in op_done:
+                continue  # resume: cell already measured cleanly
+            rows = [r for r in rows
+                    if (r.get("stage"), r.get("shifted")) != (name, shifted)]
             # combined bias: rel-pos (+ shift mask)
             table = rng.randn((2 * WH - 1) * (2 * WW - 1), heads) * 0.02
             idx = relative_position_index(WH, WW)
@@ -239,6 +244,8 @@ def main():
             with open(tmp, "w") as f:
                 json.dump(rows, f, indent=1)
             os.replace(tmp, out_path)
+
+    full_model_rows(rows, out_path)
     print("wrote", out_path, flush=True)
 
 

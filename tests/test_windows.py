@@ -502,3 +502,77 @@ class TestWindowPackBackward:
 
     def test_bf16(self):
         self._check(16, 16, 2, 32, 4, jnp.bfloat16, 5e-2)
+
+
+class TestWindowBatchedKernel:
+    """r5 'batched32' per-head kernel: output and grads must match the
+    split-head reference; backward is shared with the pack kernel."""
+
+    def _check(self, g, n, heads, dh, nwp, blk, dtype=jnp.float32,
+               tol=2e-3):
+        import vision_transformers_tpu.ops.flash_attention as FA
+
+        rng = np.random.RandomState(7)
+        hd = heads * dh
+        qkv = jnp.asarray(rng.randn(g, n, 3 * hd) * 0.5, dtype)
+        bias = (None if nwp == 0 else
+                jnp.asarray(rng.randn(nwp, heads, n, n) * 0.5, jnp.float32))
+        do = jnp.asarray(rng.randn(g, n, hd) * 0.5, dtype)
+        scale = 1.0 / dh ** 0.5
+
+        f = lambda a, b: FA._window_batched(a, b, heads, scale, blk)
+        fr = lambda a, b: FA._window_pack_ref(
+            a, (None if b is None else b.astype(a.dtype)), heads, scale)
+        if bias is None:
+            out, vjp = jax.vjp(lambda a: f(a, None), qkv)
+            (dq,), db = vjp(do), None
+            outr, vjpr = jax.vjp(lambda a: fr(a, None), qkv)
+            (dqr,), dbr = vjpr(do), None
+        else:
+            out, vjp = jax.vjp(f, qkv, bias)
+            dq, db = vjp(do)
+            outr, vjpr = jax.vjp(fr, qkv, bias)
+            dqr, dbr = vjpr(do)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(outr, np.float32),
+            atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(dq, np.float32), np.asarray(dqr, np.float32),
+            atol=tol)
+        if bias is not None:
+            np.testing.assert_allclose(
+                np.asarray(db), np.asarray(dbr), atol=tol * 10)
+
+    def test_shared_bias(self):
+        self._check(16, 16, 2, 32, 1, blk=8)
+
+    def test_per_window_bias_modulo(self):
+        self._check(32, 16, 2, 32, 16, blk=8)
+
+    def test_no_bias(self):
+        self._check(16, 16, 2, 32, 0, blk=8)
+
+    def test_bf16(self):
+        self._check(16, 16, 2, 32, 1, blk=8, dtype=jnp.bfloat16, tol=5e-2)
+
+    def test_plan_and_routing_rule(self):
+        import vision_transformers_tpu.ops.flash_attention as FA
+        import vision_transformers_tpu.ops.windows as W
+
+        # Swin-T @224 batch-128 stage shapes: plan must exist where the
+        # receipts say the kernel wins (unshifted s1/s2/s4)
+        assert FA.window_batched_plan(128 * 64, 49, 3, 32, 1, 2) is not None
+        assert FA.window_batched_plan(128 * 16, 49, 6, 32, 1, 2) is not None
+        assert FA.window_batched_plan(128, 49, 24, 32, 1, 2) is not None
+        # receipts rule: unshifted yes, except the n_win in [2, 8] regime;
+        # shifted (nwp > 1) no
+        real = jax.default_backend
+        try:
+            jax.default_backend = lambda: "tpu"
+            assert W._batched_preferred(64, 1, 0.0)
+            assert W._batched_preferred(1, 1, 0.0)
+            assert not W._batched_preferred(4, 1, 0.0)
+            assert not W._batched_preferred(64, 64, 0.0)
+            assert not W._batched_preferred(64, 1, 0.1)
+        finally:
+            jax.default_backend = real

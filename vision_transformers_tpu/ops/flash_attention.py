@@ -1678,6 +1678,150 @@ def window_packed_attention(qkv, bias, heads, scale=None, plan=None):
     return _window_pack(qkv, bias, heads, float(scale), p, g_blk)
 
 
+def window_batched_plan(g: int, n: int, heads: int, dh: int,
+                        bias_windows: int, itemsize: int = 2):
+    """blk for the per-head batched window kernel, or None.
+
+    Unlike the pack kernel this one keeps each window's attention as a
+    small batched matmul (no block-diagonal packing) — measured FASTER
+    than both pack and fused at unshifted Swin stage-1/2/4 shapes
+    (window_variant_sweep_r05: s1 4.90 vs pack 5.19 / fused 5.25 ms,
+    s2 2.98 vs 3.17 / 3.66) because the packing relayout isn't free and
+    the MXU is idle either way at N=49. Requires g % blk == 0 and the
+    bias leading dim to be 1 or divisible by blk (grid-modulo indexing)."""
+    if n > 128:
+        return None
+    hd = heads * dh
+    for blk in (32, 16, 8):
+        if g % blk or (bias_windows > 1 and bias_windows % blk):
+            continue
+        in_b = 2 * blk * n * 3 * hd * itemsize
+        out_b = 2 * blk * n * hd * itemsize
+        bias_b = (min(blk, max(bias_windows, 1)) * heads * n
+                  * max(n, 128) * itemsize)
+        live = blk * n * (n * 3 * 4 + dh * 2 * 4)
+        if in_b + out_b + bias_b + live <= _WINDOW_PACK_VMEM_TARGET:
+            return blk
+    return None
+
+
+def _window_batched_kernel(qkv_ref, bias_ref, o_ref, *, heads, dh, scale):
+    """qkv_ref (blk, N, 3·H·dh); bias_ref (blk | 1, H, N, N) fp32;
+    o_ref (blk, N, H·dh). Plain per-head batched attention."""
+    hd = heads * dh
+    for h in range(heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, hd + h * dh:hd + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        # (blk | 1, N, N) broadcasts over windows; bias VMEM-resident in
+        # the compute dtype, same rounding as the pack kernel (whose
+        # backward this kernel shares)
+        s = s + bias_ref[:, h].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        o = jax.lax.dot_general(
+            probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+
+
+def _window_batched_fwd_pallas(qkv, bias, heads, scale, blk):
+    g, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    dh = hd // heads
+    if bias is None:
+        bias_f = jnp.zeros((1, heads, n, n), qkv.dtype)
+    else:
+        bias_f = bias.astype(qkv.dtype)
+    nwp = bias_f.shape[0]
+    if nwp == 1:
+        bspec = pl.BlockSpec((1, heads, n, n), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        bspec = pl.BlockSpec((blk, heads, n, n),
+                             lambda i: (i % (nwp // blk), 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        functools.partial(_window_batched_kernel, heads=heads, dh=dh,
+                          scale=scale),
+        grid=(g // blk,),
+        interpret=interpret,
+        in_specs=[pl.BlockSpec((blk, n, three_hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM), bspec],
+        out_specs=pl.BlockSpec((blk, n, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, n, hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g * heads * n * n * dh,
+            bytes_accessed=4 * g * n * hd * qkv.dtype.itemsize,
+            transcendentals=g * heads * n * n,
+        ),
+    )(qkv, bias_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _window_batched(qkv, bias, heads, scale, blk):
+    return _window_batched_fwd_pallas(qkv, bias, heads, scale, blk)
+
+
+def _window_batched_fwd_rule(qkv, bias, heads, scale, blk):
+    return _window_batched_fwd_pallas(qkv, bias, heads, scale, blk), \
+        (qkv, bias)
+
+
+def _window_batched_bwd_rule(heads, scale, blk, res, do):
+    # same (G, N, 3·H·dh) layout as the pack kernel — share its Pallas
+    # backward (the fwd kernels differ only in how they feed the MXU)
+    qkv, bias = res
+    g, n, three_hd = qkv.shape
+    dh = three_hd // (3 * heads)
+    nwp = 1 if bias is None else bias.shape[0]
+    if dh <= 64 and 128 % dh == 0 and g % (128 // dh) == 0:
+        p = 128 // dh
+        bwd_gblk = _window_pack_bwd_gblk(g, n, heads, dh, nwp,
+                                         qkv.dtype.itemsize)
+        if bwd_gblk is not None:
+            return _window_pack_bwd_pallas(qkv, bias, do, heads, scale, p,
+                                           bwd_gblk)
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda a: _window_pack_ref(a, None, heads, scale), qkv)
+        return vjp(do) + (None,)
+    _, vjp = jax.vjp(
+        lambda a, b: _window_pack_ref(a, b.astype(a.dtype), heads, scale),
+        qkv, bias)
+    return vjp(do)
+
+
+_window_batched.defvjp(_window_batched_fwd_rule, _window_batched_bwd_rule)
+
+
+def window_batched_attention(qkv, bias, heads, scale=None, blk=None):
+    """Per-head batched window attention (the r5 'batched32' variant).
+
+    qkv: (G, N, 3·H·dh), G = batch·n_win (window fastest-varying);
+    bias: (1 | n_win, H, N, N) or None. ``blk`` from
+    :func:`window_batched_plan` (computed if omitted)."""
+    g, n, three_hd = qkv.shape
+    dh = three_hd // (3 * heads)
+    if scale is None:
+        scale = 1.0 / dh ** 0.5
+    if blk is None:
+        blk = window_batched_plan(
+            g, n, heads, dh, 1 if bias is None else bias.shape[0],
+            qkv.dtype.itemsize)
+    if blk is None:
+        raise ValueError("shape not supported; check window_batched_plan")
+    return _window_batched(qkv, bias, heads, float(scale), blk)
+
+
 # ---------------------------------------------------------------------------
 # Fused NHWC windowed attention: cyclic shift + window partition + packed
 # attention + window reverse + un-shift in ONE kernel.

@@ -27,6 +27,8 @@ from vision_transformers_tpu.core.initializers import trunc_normal_init, zeros_i
 from vision_transformers_tpu.ops.attention import dot_product_attention
 from vision_transformers_tpu.ops.flash_attention import (
     fused_window_attention,
+    window_batched_attention,
+    window_batched_plan,
     window_fused_flat_plan,
     window_fused_plan,
     window_pack_plan,
@@ -44,6 +46,19 @@ FORCE_PACK_PATH: Optional[bool] = None
 # into the attention kernel's DMA indexing — flash_attention.py,
 # _window_fused_kernel). None = auto (TPU only).
 FORCE_FUSED_WINDOW: Optional[bool] = None
+
+# Per-head batched window kernel (r5 'batched32'). None = auto by the
+# window_variant_sweep_r05 receipts: it wins UNSHIFTED stages except the
+# n_win ∈ [2, 8] regime (Swin-T s3, where fused wins 1.23 vs 1.52 ms);
+# shifted blocks stay on the fused kernel (5.36 vs 6.80 ms at s1).
+FORCE_BATCHED_WINDOW: Optional[bool] = None
+
+
+def _batched_preferred(n_win: int, nwp: int, drop: float) -> bool:
+    if FORCE_BATCHED_WINDOW is not None:
+        return FORCE_BATCHED_WINDOW
+    return (jax.default_backend() == "tpu" and drop == 0.0 and nwp == 1
+            and not (2 <= n_win <= 8))
 
 _pack_dropout_warned = False
 
@@ -206,7 +221,11 @@ def shifted_window_attention(
     # read in place) is already spent; route cosine to the pack path.
     use_fused = (
         FORCE_FUSED_WINDOW if FORCE_FUSED_WINDOW is not None
-        else (jax.default_backend() == "tpu" and logit_scale is None)
+        else (jax.default_backend() == "tpu" and logit_scale is None
+              # unshifted stages outside the n_win ∈ [2, 8] regime route
+              # to the batched kernel on the pack path instead (r5
+              # receipts — see _batched_preferred)
+              and not _batched_preferred(n_win, nwp, drop))
     )
     fused_plan = None
     if use_fused and drop == 0.0:
@@ -327,6 +346,29 @@ def shifted_window_attention(
     qkv_packed = window_partition(qkv, wh, ww)
     # (B·nW, N, 3C), [q | k | v] lanes — kernel layout (x was rolled
     # before the projection on this path)
+
+    # Batched kernel first (r5): at unshifted stage-1/2/4 shapes it beats
+    # both the pack and fused kernels (window_variant_sweep_r05) — the
+    # block-diagonal packing relayout isn't free, and the MXU is idle at
+    # N=49 either way. Cosine (SwinV2) rides it too: normalization and
+    # temperature are already folded into the packed q, scale=1. Only in
+    # auto mode — FORCE_PACK_PATH=True pins the pack kernel for tests.
+    batched_blk = None
+    if (FORCE_PACK_PATH is None and drop == 0.0
+            and _batched_preferred(n_win, nwp, drop)):
+        batched_blk = window_batched_plan(
+            g, n, num_heads, dh, nwp, qkv_packed.dtype.itemsize)
+    if batched_blk is not None:
+        out = window_batched_attention(
+            qkv_packed, bias, num_heads, scale=scale, blk=batched_blk)
+        out = window_reverse(out, wh, ww, pad_h, pad_w)
+        if sum(shift) > 0:
+            out = jnp.roll(out, shift=(shift[0], shift[1]), axis=(1, 2))
+        out = out[:, :h, :w, :]
+        out = out @ proj_kernel
+        if proj_bias is not None:
+            out = out + proj_bias
+        return out
 
     pack_plan = None
     use_pack = (
