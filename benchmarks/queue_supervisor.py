@@ -201,8 +201,11 @@ STEPS = [
      distill_noise_done, None, "distill_noise_r05.json"),
     ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
      {}, detr_soak_done, None, "detr_convergence_r05.json"),
-    # zoo_v2 (full 10-model soak on the calibrated task) is appended by
-    # hand once zoo_calibrate picks the setting — see convergence_zoo_r05
+    # full 10-model soak on the calibrated task: zoo_calibrate chains it
+    # in its own window when it finds the band; this step finishes it
+    # (resumable) if that window's 5400s cut the soak short
+    ("zoo_v2", [PY, "benchmarks/convergence_zoo_r05.py"], 10800,
+     {}, zoo_v2_done, None, None),
 ]
 
 def probe(timeout=360):
