@@ -350,22 +350,30 @@ def validate_window_pack():
         record(f"window_pack_bwd_kernel {tag}", edq < tol and edb < tol * 10,
                f"dqkv err {edq:.2e} dbias err {edb:.2e}")
 
-    # fused backward now rides the pack bwd kernel behind the layout vjp
-    b, side, heads, dh, wh = 8, 28, 6, 32, 7
-    hd = heads * dh
+    # fused backward now rides the pack bwd kernel behind the layout vjp.
+    # Mirror the PRODUCTION layout exactly (windows.py): c=96 (Swin-T s1)
+    # lane-pads each q/k/v section to sec=128 — the fused forward's slab
+    # DMA requires 128-aligned sections (an unpadded 3·hd map is a
+    # contract violation that Mosaic rejects).
+    b, side, heads, dh, wh = 4, 28, 3, 32, 7
+    hd = heads * dh          # 96 real lanes
+    sec = -(-hd // 128) * 128  # 128
     nwp = 16
     fplan = fa.window_fused_plan(b, side, side, wh, wh, heads, dh, nwp, 2)
     if fplan is None:
         fplan = fa.window_fused_flat_plan(b, side, side, wh, wh, heads,
                                           dh, nwp, 2)
     if fplan is not None:
-        qm = (jax.random.normal(jax.random.PRNGKey(3),
-                                (b, side, side, 3 * hd)) * 0.5
-              ).astype(jnp.bfloat16)
+        qm_real = (jax.random.normal(jax.random.PRNGKey(3),
+                                     (b, side, side, 3 * hd)) * 0.5
+                   ).astype(jnp.bfloat16)
+        qm = jnp.concatenate([
+            jnp.pad(t, ((0, 0),) * 3 + ((0, sec - hd),))
+            for t in jnp.split(qm_real, 3, axis=-1)], axis=-1)
         bias = jax.random.normal(jax.random.PRNGKey(4),
                                  (nwp, heads, wh * wh, wh * wh)) * 0.1
         dom = (jax.random.normal(jax.random.PRNGKey(5),
-                                 (b, side, side, hd)) * 0.5
+                                 (b, side, side, sec)) * 0.5
                ).astype(jnp.bfloat16)
         scale = 1.0 / dh ** 0.5
         _, vjp = jax.vjp(
