@@ -206,6 +206,10 @@ STEPS = [
     # (resumable) if that window's 5400s cut the soak short
     ("zoo_v2", [PY, "benchmarks/convergence_zoo_r05.py"], 10800,
      {}, zoo_v2_done, None, None),
+    ("window_inkernel",
+     [PY, "benchmarks/window_inkernel_ablation.py"], 2400, {},
+     _tpu_dict("window_inkernel_ablation_r05.json", "stages",
+               "hbm_floor_ms"), None, None),
 ]
 
 def probe(timeout=360):
