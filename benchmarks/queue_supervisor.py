@@ -129,6 +129,14 @@ def vit_train_residue_done():
             and "train_step" in d and len(d.get("stages", {})) >= 4)
 
 
+def vit_train_residue_v2_done():
+    # v2: grads_only must reduce over every grad leaf (the first artifact
+    # let XLA DCE unmeasured wgrads -> implied bwd MFU > 100%)
+    d = load_json("vit_train_residue_r05.json")
+    return (isinstance(d, dict) and d.get("backend") == "tpu"
+            and d.get("train_step", {}).get("grads_all_leaves") is True)
+
+
 def hier_train_done():
     d = load_json("hier_train_r05.json")
     return (isinstance(d, list) and len(d) >= 5
@@ -210,6 +218,8 @@ STEPS = [
      [PY, "benchmarks/window_inkernel_ablation.py"], 2400, {},
      _tpu_dict("window_inkernel_ablation_r05.json", "stages",
                "hbm_floor_ms"), None, None),
+    ("vit_train_residue_v2", [PY, "benchmarks/vit_train_residue.py"], 2400,
+     {}, vit_train_residue_v2_done, None, None),
 ]
 
 def probe(timeout=360):

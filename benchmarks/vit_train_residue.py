@@ -49,8 +49,11 @@ def _write():
     os.replace(tmp, OUT)
 
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, *args, iters=20, scoped_vmem=False):
     f = jax.jit(fn)
+    if scoped_vmem and jax.default_backend() == "tpu":
+        f = f.lower(*args).compile(
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"})
     out = f(*args)
     jax.tree.map(lambda a: np.asarray(jax.device_get(a.ravel()[0])), out)
     t0 = time.perf_counter()
@@ -170,17 +173,22 @@ def main():
         return jnp.mean(jnp.sum(
             -lab1 * jax.nn.log_softmax(logits.astype(jnp.float32)), -1))
 
-    fwd_ms = timeit(fwd_only, state.params, imgs, iters=10)
+    fwd_ms = timeit(fwd_only, state.params, imgs, iters=10, scoped_vmem=True)
 
     def grads_only(p, x):
         g = jax.grad(fwd_only)(p, x)
-        return jax.tree_util.tree_leaves(g)[0]
+        # reduce over EVERY leaf: returning a single leaf lets XLA
+        # dead-code-eliminate the other wgrads (the r05a artifact's
+        # implied bwd MFU was >100%, which is how we caught it)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(g))
 
-    gr_ms = timeit(grads_only, state.params, imgs, iters=10)
+    gr_ms = timeit(grads_only, state.params, imgs, iters=10, scoped_vmem=True)
 
     fl = 3 * (2 * 196 * 768 * D + 12 * (8 * S * D * D + 4 * S * S * D
                                         + 4 * S * D * MLP)) * B
     REPORT["train_step"] = {
+        "grads_all_leaves": True,
         "full_ms": round(full_ms, 2),
         "fwd_loss_ms": round(fwd_ms, 2),
         "fwd+bwd_ms": round(gr_ms, 2),
