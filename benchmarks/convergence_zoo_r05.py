@@ -44,23 +44,34 @@ def pick_calibration():
             cal = json.load(f)
     except OSError:
         return default, "default (no calibration artifact)"
+    def parse(key):
+        # key format: n{n_train}_noise{noise:g}_occl{occl}_e{epochs}
+        toks = key.split("_")
+        return {"n_train": int(toks[0][1:]),
+                "noise": float(toks[1][5:]),
+                "occlusion": int(toks[2][4:])}
+
     best, best_key, best_d = None, None, 9.0
+    near, near_key, near_d = None, None, 9.0
     for key, entry in cal.items():
         accs = [m["final_test_acc"] for m in entry.values()
                 if isinstance(m, dict) and "final_test_acc" in m]
-        if len(accs) < 2 or not all(0.3 <= a <= 0.85 for a in accs):
+        if len(accs) < 2:
             continue
         d = abs(float(np.mean(accs)) - 0.6)
-        if d < best_d:
-            # key format: n{n_train}_noise{noise:g}_occl{occl}_e{epochs}
-            toks = key.split("_")
-            best = {"n_train": int(toks[0][1:]),
-                    "noise": float(toks[1][5:]),
-                    "occlusion": int(toks[2][4:])}
-            best_key, best_d = key, d
-    if best is None:
-        return default, "default (no calibrated setting in band)"
-    return best, f"calibrated ({best_key})"
+        if all(0.3 <= a <= 0.85 for a in accs):
+            if d < best_d:
+                best, best_key, best_d = parse(key), key, d
+        elif d < near_d:
+            near, near_key, near_d = parse(key), key, d
+    if best is not None:
+        return best, f"calibrated ({best_key})"
+    if near is not None:
+        # no rung fully in band — the measured setting nearest the band
+        # still beats the known-saturated default (n10000 probed at
+        # vit .928 / swin .961)
+        return near, f"nearest-band ({near_key})"
+    return default, "default (no calibration measurements)"
 
 
 def build_models():

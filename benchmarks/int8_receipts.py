@@ -36,7 +36,14 @@ import numpy as np
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "int8_receipts_r05.json")
-REPORT = {"backend": jax.default_backend()}
+# merge into the existing artifact so a partial re-run (e.g.
+# INT8_SKIP_TRAIN=1 to redo only the per-op table) keeps prior sections
+try:
+    with open(OUT) as _f:
+        REPORT = json.load(_f)
+except Exception:
+    REPORT = {}
+REPORT["backend"] = jax.default_backend()
 
 
 def _write():
@@ -47,18 +54,31 @@ def _write():
 
 
 def _dot_dtype_census(hlo_text):
-    """Count dot/conv ops by operand element type in (optimized) HLO."""
+    """Count dot/conv ops by operand element type in (optimized) HLO.
+
+    Optimized HLO prints operands as bare names (`convolution(%fusion.1,
+    %fusion.2)`), so operand dtypes must be resolved through each
+    operand's own definition line. A fusion's element type is its OUTPUT
+    type — which is exactly what feeds the MXU, so `s32 =
+    convolution(s8-typed operand, s8-typed operand)` is the s8×s8→s32
+    signature."""
+    def_type = {}
+    for m in re.finditer(r"(%[\w.-]+)\s*=\s*(\w+)\[", hlo_text):
+        def_type[m.group(1)] = m.group(2)
+
     census = {}
     for m in re.finditer(
-            r"=\s*(\w+)\[[^\]]*\]\{?[^=]*?\b(dot|convolution)\(", hlo_text):
-        out_t = m.group(1)
-        kind = m.group(2)
-        # operand dtypes live on the line; s8 dots show s32 = dot(s8, s8)
-        line_start = hlo_text.rfind("\n", 0, m.start()) + 1
-        line = hlo_text[line_start:hlo_text.find("\n", m.start())]
-        op_t = "s8" if re.search(r"\bs8\[", line) else (
-            "bf16" if "bf16[" in line else "f32/other")
-        key = f"{kind}:{op_t}->{out_t}"
+            r"=\s*(\w+)\[[^\]]*\]\{?[^=]*?\b(dot|convolution)"
+            r"\(([^)]*)\)", hlo_text):
+        out_t, kind, operands = m.group(1), m.group(2), m.group(3)
+        op_ts = []
+        for name in re.findall(r"%[\w.-]+", operands):
+            op_ts.append(def_type.get(name, "?"))
+        # inline-typed operands (e.g. `s8[...] %p`) take precedence
+        inline = re.findall(r"(\w+)\[[^\]]*\]\s*%", operands)
+        if len(inline) == len(op_ts) and inline:
+            op_ts = inline
+        key = f"{kind}:{'x'.join(op_ts) or '?'}->{out_t}"
         census[key] = census.get(key, 0) + 1
     return census
 
@@ -93,15 +113,30 @@ def hlo_receipts():
         _write()
 
 
-def _timed(fn, *args, iters=30):
-    out = jax.jit(fn)(*args)
-    float(jnp.sum(out.astype(jnp.float32)))
-    f = jax.jit(fn)
+CHAIN_K = 32
+
+
+def _timed_chain(fn, xs, *consts, iters=5):
+    """Amortized per-op time: scan fn over K stacked inputs inside ONE jit.
+
+    Single-dispatch per-op timings through this environment's tunnel carry
+    ~1 ms of dispatch noise each (PERFORMANCE.md r3) — the v1 artifact's
+    per_op table measured dispatch, not compute (every op read 1-2 ms
+    regardless of shape). The scan amortizes dispatch over CHAIN_K
+    applications on DIFFERENT inputs (so XLA cannot CSE), reduced to a
+    scalar so nothing is DCE'd."""
+    @jax.jit
+    def chain(xs, *consts):
+        def body(acc, x):
+            return acc + jnp.sum(fn(x, *consts).astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+        return acc
+    float(chain(xs, *consts))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-    float(jnp.sum(out.astype(jnp.float32)))
-    return (time.perf_counter() - t0) / iters * 1e3
+        v = chain(xs, *consts)
+    float(v)
+    return (time.perf_counter() - t0) / (iters * CHAIN_K) * 1e3
 
 
 def per_op_receipts():
@@ -118,34 +153,41 @@ def per_op_receipts():
     for b in (1, 8, 32):
         rows = b * rows_per_img
         for name, cin, cout in shapes:
-            x = jnp.asarray(rng.randn(rows, cin), jnp.bfloat16)
+            xs = jnp.asarray(
+                rng.randn(CHAIN_K, rows, cin), jnp.bfloat16)
             k = jnp.asarray(rng.randn(cin, cout) * 0.02, jnp.bfloat16)
             kq, ks = quantize_kernel(k)
-            xq, xs = dynamic_quant_rows(x)
+            xqs, xss = jax.jit(jax.vmap(dynamic_quant_rows))(xs)
 
-            bf16_ms = _timed(lambda x, k: x @ k, x, k)
-            int8_ms = _timed(
-                lambda x, kq, ks: int8_matmul(x, kq, ks), x, kq, ks)
+            bf16_ms = _timed_chain(lambda x, k: x @ k, xs, k)
+            int8_ms = _timed_chain(
+                lambda x, kq, ks: int8_matmul(x, kq, ks), xs, kq, ks)
 
-            def s8_dot_only(xq, kq, xs, ks):
+            def s8_dot_rescale(xq_xs, kq, ks):
+                xq, x_scale = xq_xs
                 acc = jax.lax.dot_general(
                     xq, kq, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                return acc.astype(jnp.float32) * (xs * ks)
+                return acc.astype(jnp.float32) * (x_scale * ks)
 
-            s8_dot_ms = _timed(s8_dot_only, xq, kq, xs, ks)
-            quant_ms = _timed(lambda x: dynamic_quant_rows(x)[0], x)
+            s8_dot_ms = _timed_chain(s8_dot_rescale, (xqs, xss), kq, ks)
+            quant_ms = _timed_chain(lambda x: dynamic_quant_rows(x)[0], xs)
+            flops = 2 * rows * cin * cout
             table[f"b{b}_{name}"] = {
                 "bf16_ms": round(bf16_ms, 4),
                 "int8_full_ms": round(int8_ms, 4),
                 "int8_dot_rescale_ms": round(s8_dot_ms, 4),
                 "dyn_quant_ms": round(quant_ms, 4),
                 "int8_vs_bf16": round(bf16_ms / int8_ms, 3),
+                "bf16_mfu": round(flops / (bf16_ms * 1e-3) / 197e12, 3),
+                "s8_rate_vs_394T": round(
+                    flops / (s8_dot_ms * 1e-3) / 394e12, 3),
             }
             print(f"b{b} {name}: bf16 {bf16_ms:.3f} int8 {int8_ms:.3f} "
                   f"(dot+rescale {s8_dot_ms:.3f}, quant {quant_ms:.3f})",
                   flush=True)
     REPORT["per_op"] = table
+    REPORT["per_op_methodology"] = f"scan_chain_k{CHAIN_K}"
     _write()
 
 

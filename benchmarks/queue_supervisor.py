@@ -129,6 +129,15 @@ def vit_train_residue_done():
             and "train_step" in d and len(d.get("stages", {})) >= 4)
 
 
+def int8_v2_done():
+    # v2: per-op timings must be scan-chained (the v1 single-dispatch
+    # table measured ~1 ms tunnel dispatch, not compute)
+    d = load_json("int8_receipts_r05.json")
+    return (isinstance(d, dict) and d.get("backend") == "tpu"
+            and str(d.get("per_op_methodology", "")).startswith("scan_chain")
+            and "trained_accuracy" in d)
+
+
 def vit_train_residue_v2_done():
     # v2: grads_only must reduce over every grad leaf (the first artifact
     # let XLA DCE unmeasured wgrads -> implied bwd MFU > 100%)
@@ -202,24 +211,29 @@ STEPS = [
      None, None),
     ("distill_collapse", [PY, "benchmarks/distill_collapse_diag.py"], 5400,
      {}, distill_collapse_done, None, "distill_collapse_diag.json"),
-    ("zoo_calibrate", [PY, "benchmarks/zoo_calibrate.py"], 5400,
-     {}, zoo_cal_done, None, "zoo_calibration.json"),
     ("distill_noise", [PY, "benchmarks/distill_noise_soak.py"], 7200,
      {"DISTILL_NOISE_OUT": "benchmarks/distill_noise_r05.json"},
      distill_noise_done, None, "distill_noise_r05.json"),
     ("detr_soak", [PY, "benchmarks/detr_convergence.py"], 10800,
      {}, detr_soak_done, None, "detr_convergence_r05.json"),
-    # full 10-model soak on the calibrated task: zoo_calibrate chains it
-    # in its own window when it finds the band; this step finishes it
-    # (resumable) if that window's 5400s cut the soak short
-    ("zoo_v2", [PY, "benchmarks/convergence_zoo_r05.py"], 10800,
-     {}, zoo_v2_done, None, None),
+    # short receipts before the multi-hour zoo ladder+soak
     ("window_inkernel",
      [PY, "benchmarks/window_inkernel_ablation.py"], 2400, {},
      _tpu_dict("window_inkernel_ablation_r05.json", "stages",
                "hbm_floor_ms"), None, None),
     ("vit_train_residue_v2", [PY, "benchmarks/vit_train_residue.py"], 2400,
      {}, vit_train_residue_v2_done, None, None),
+    ("int8_receipts_v2",
+     [PY, "benchmarks/int8_receipts.py"], 3600,
+     {"INT8_SKIP_TRAIN": "1"}, int8_v2_done, None,
+     "int8_receipts_r05.json"),
+    ("zoo_calibrate", [PY, "benchmarks/zoo_calibrate.py"], 7200,
+     {}, zoo_cal_done, None, "zoo_calibration.json"),
+    # full 10-model soak on the calibrated task: zoo_calibrate chains it
+    # in its own window when it finds the band; this step finishes it
+    # (resumable) if that window's timeout cut the soak short
+    ("zoo_v2", [PY, "benchmarks/convergence_zoo_r05.py"], 10800,
+     {}, zoo_v2_done, None, None),
 ]
 
 def probe(timeout=360):
